@@ -1,0 +1,43 @@
+"""bloomspark — a PySpark-native distributed Bloom sketch library.
+
+A from-scratch re-expression of Baqend/Orestes-Bloomfilter's
+capabilities (standard + counting Bloom filters, optimal sizing math,
+the full 15-method HashProvider suite) on Spark's execution model:
+per-partition bitsets built with Arrow-batched vectorized numpy hashing
+inside ``mapInPandas``/``applyInPandas``, OR-merged associatively, with
+broadcast probe columns, salted two-phase skew handling, and
+checkpoint-resumable lineage.
+"""
+
+from .params import (
+    FilterConfig,
+    optimal_m,
+    optimal_k,
+    optimal_n,
+    optimal_p,
+    HASH_METHODS,
+    DEFAULT_HASH_METHOD,
+)
+from .filter import BloomFilter, merge_all, population_estimate
+from .counting import CountingBloomFilter, merge_all_counting
+from .hashing import hash_positions, murmur3_32, as_bytes_array
+
+__all__ = [
+    "FilterConfig",
+    "BloomFilter",
+    "CountingBloomFilter",
+    "merge_all",
+    "merge_all_counting",
+    "population_estimate",
+    "optimal_m",
+    "optimal_k",
+    "optimal_n",
+    "optimal_p",
+    "hash_positions",
+    "murmur3_32",
+    "as_bytes_array",
+    "HASH_METHODS",
+    "DEFAULT_HASH_METHOD",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,579 @@
+"""Vectorized hash suite producing k bit positions in [0, m) per key.
+
+Re-implements (from scratch, in numpy) the full 15-method hash suite of
+the reference's ``HashProvider``
+(/root/reference/src/main/java/orestes/bloomfilter/HashProvider.java:18-504)
+with bit-exact Java semantics:
+
+* ``Murmur3KirschMitzenmacher`` (default) — ``hashCassandra``,
+  HashProvider.java:160-168: h1 = unsigned(murmur3_32(0, v)),
+  h2 = unsigned(murmur3_32((int) h1, v)), pos_i = (h1 + i*h2) mod m.
+  Fully vectorized (two murmur passes per batch, positions by broadcast).
+* ``Murmur3`` — chained murmur3 + rejection sampling,
+  HashProvider.java:156-158,320-332.  Vectorized with a mask-and-rehash
+  loop over still-incomplete rows.
+* ``FNVWithLCG`` — ``hashSimpleLCG``, HashProvider.java:131-154: FNV-ish
+  32-bit fold (with Java's sign-extended byte XOR quirk,
+  HashProvider.java:26-43) seeding Java's LCG.  Fully vectorized.
+* ``MD5``/``SHA1``/``SHA256``/``SHA384``/``SHA512``/``MD2`` —
+  ``hashCrypt``, HashProvider.java:341-388: digest chaining +
+  little-endian bit-slice rejection sampling.  Per-key ``hashlib``
+  (cryptographic digests are inherently per-message); batched at the
+  Arrow-batch level.  MD2 uses a pure-Python RFC 1319 implementation.
+* ``CRC32``/``Adler32`` — ``hashChecksum``, HashProvider.java:106-123,
+  via ``zlib`` with the salt-byte update sequence.
+* ``Murmur2`` — input-perturbation chaining, HashProvider.java:236-302.
+* ``RNG`` — ``java.util.Random(FNV(value)).nextInt(m)`` replica,
+  HashProvider.java:75-82.
+* ``CarterWegman`` — BigInteger universal hashing replica,
+  HashProvider.java:51-67.
+
+All public entry points take a list/array of ``bytes`` keys and return
+an ``(N, k)`` int64 position matrix.  Keys are UTF-8 bytes of the
+element's string form (BloomFilter.toBytes, BloomFilter.java:152-154).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Callable, Dict, List, Sequence
+
+import numpy as np
+
+SEED32 = 89478583  # HashProvider.java:19
+_INT32_MAX = 2147483647
+_INT32_MIN = -2147483648
+
+_U32 = np.uint32
+_U64 = np.uint64
+
+# ---------------------------------------------------------------------------
+# Key batching helpers
+# ---------------------------------------------------------------------------
+
+
+def as_bytes_array(keys: Sequence) -> np.ndarray:
+    """Normalize a sequence of str/bytes keys to an object ndarray of bytes.
+
+    Mirrors BloomFilter.toBytes (BloomFilter.java:152-154): UTF-8 of the
+    element's string form.
+    """
+    out = np.empty(len(keys), dtype=object)
+    for i, v in enumerate(keys):
+        if isinstance(v, bytes):
+            out[i] = v
+        elif isinstance(v, str):
+            out[i] = v.encode("utf-8")
+        else:
+            out[i] = str(v).encode("utf-8")
+    return out
+
+
+def _group_by_length(keys: np.ndarray):
+    """Yield (indices, (G, L) uint8 matrix) per distinct key byte-length.
+
+    Vectorization strategy: murmur/FNV block loops depend only on the
+    byte length, so rows of equal length are processed as one matrix.
+    """
+    lengths = np.fromiter((len(b) for b in keys), count=len(keys), dtype=np.int64)
+    for length in np.unique(lengths):
+        idx = np.nonzero(lengths == length)[0]
+        if length == 0:
+            yield idx, np.zeros((len(idx), 0), dtype=np.uint8)
+            continue
+        joined = b"".join(keys[i] for i in idx)
+        mat = np.frombuffer(joined, dtype=np.uint8).reshape(len(idx), length)
+        yield idx, mat
+
+
+# ---------------------------------------------------------------------------
+# murmur3_32 (Guava-compatible) — HashProvider.murmur3_signed, java:174-229
+# ---------------------------------------------------------------------------
+
+_C1 = _U32(0xCC9E2D51)
+_C2 = _U32(0x1B873593)
+
+
+def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U32(r)) | (x >> _U32(32 - r))
+
+
+def _murmur3_fixed(mat: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """murmur3_32 over an (N, L) uint8 matrix with per-row uint32 seeds."""
+    n, length = mat.shape
+    h1 = seeds.astype(_U32, copy=True)
+    nblocks = length // 4
+    with np.errstate(over="ignore"):
+        if nblocks:
+            blocks = mat[:, : nblocks * 4].reshape(n, nblocks, 4).astype(_U32)
+            kcol = (
+                blocks[:, :, 0]
+                | (blocks[:, :, 1] << _U32(8))
+                | (blocks[:, :, 2] << _U32(16))
+                | (blocks[:, :, 3] << _U32(24))
+            )
+            for j in range(nblocks):
+                k1 = kcol[:, j] * _C1
+                k1 = _rotl32(k1, 15)
+                k1 = k1 * _C2
+                h1 ^= k1
+                h1 = _rotl32(h1, 13)
+                h1 = h1 * _U32(5) + _U32(0xE6546B64)
+        tail = length & 3
+        if tail:
+            base = nblocks * 4
+            k1 = np.zeros(n, dtype=_U32)
+            if tail == 3:
+                k1 ^= mat[:, base + 2].astype(_U32) << _U32(16)
+            if tail >= 2:
+                k1 ^= mat[:, base + 1].astype(_U32) << _U32(8)
+            k1 ^= mat[:, base].astype(_U32)
+            k1 *= _C1
+            k1 = _rotl32(k1, 15)
+            k1 *= _C2
+            h1 ^= k1
+        # makeHash(): h1 ^= total length processed (java:219 — i += len makes
+        # i the full input length)
+        h1 ^= _U32(length)
+        h1 ^= h1 >> _U32(16)
+        h1 *= _U32(0x85EBCA6B)
+        h1 ^= h1 >> _U32(13)
+        h1 *= _U32(0xC2B2AE35)
+        h1 ^= h1 >> _U32(16)
+    return h1
+
+
+def murmur3_32(keys: np.ndarray, seeds) -> np.ndarray:
+    """Vectorized Guava-compatible murmur3_32 -> uint32 array.
+
+    ``seeds`` is a scalar or per-row array; the uint32 bit pattern equals
+    Java's signed int result (HashProvider.murmur3_signed).
+    """
+    n = len(keys)
+    if np.isscalar(seeds):
+        seeds = np.full(n, seeds, dtype=_U32)
+    else:
+        seeds = np.asarray(seeds).astype(_U32)
+    out = np.empty(n, dtype=_U32)
+    for idx, mat in _group_by_length(keys):
+        out[idx] = _murmur3_fixed(mat, seeds[idx])
+    return out
+
+
+def murmur3_signed_scalar(seed: int, data: bytes) -> int:
+    """Scalar reference implementation (signed int), for tests/goldens."""
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(1, len(data))
+    u = int(_murmur3_fixed(arr, np.array([seed & 0xFFFFFFFF], dtype=_U32))[0])
+    return u - (1 << 32) if u >= (1 << 31) else u
+
+
+# ---------------------------------------------------------------------------
+# Rejection sampling — HashProvider.rejectionSample, java:311-318
+# ---------------------------------------------------------------------------
+
+
+def _rejection_ok(abs64: np.ndarray, m: int) -> np.ndarray:
+    """Acceptance mask for |x| (int64) per HashProvider.java:311-318.
+
+    Java keeps Integer.MIN_VALUE negative under Math.abs and rejects it
+    explicitly; in int64 its absolute value 2**31 exceeds the limit, so a
+    single comparison covers both cases.
+    """
+    limit = _INT32_MAX - (_INT32_MAX % m)
+    return abs64 <= limit
+
+
+def rejection_sample_scalar(x: int, m: int) -> int:
+    """Scalar replica of HashProvider.rejectionSample(int, int)."""
+    if x == _INT32_MIN:
+        return -1
+    x = abs(x)
+    if x > (_INT32_MAX - _INT32_MAX % m):
+        return -1
+    return x % m
+
+
+# ---------------------------------------------------------------------------
+# Murmur3KirschMitzenmacher (default) — hashCassandra, java:160-168
+# ---------------------------------------------------------------------------
+
+
+def positions_murmur3_km(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    h1 = murmur3_32(keys, 0)
+    h2 = murmur3_32(keys, h1)  # seed = (int) hash1: same 32-bit pattern
+    h1_64 = h1.astype(_U64)[:, None]
+    h2_64 = h2.astype(_U64)[:, None]
+    i = np.arange(k, dtype=_U64)[None, :]
+    with np.errstate(over="ignore"):
+        # Java evaluates (hash1 + i*hash2) in signed 64-bit without overflow
+        # (both < 2^32, i < k); uint64 arithmetic is identical here.
+        pos = (h1_64 + i * h2_64) % _U64(m)
+    return pos.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Murmur3 (chained + rejection) — hashMurmur3, java:156-158,320-332
+# ---------------------------------------------------------------------------
+
+
+def positions_murmur3(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    n = len(keys)
+    out = np.zeros((n, k), dtype=np.int64)
+    counts = np.zeros(n, dtype=np.int64)
+    seeds = np.zeros(n, dtype=_U32)
+    active = np.arange(n)
+    while active.size:
+        seeds[active] = murmur3_32(keys[active], seeds[active])
+        signed = seeds[active].astype(np.int32).astype(np.int64)
+        a = np.abs(signed)
+        ok = _rejection_ok(a, m)
+        acc_rows = active[ok]
+        out[acc_rows, counts[acc_rows]] = a[ok] % m
+        counts[acc_rows] += 1
+        active = active[counts[active] < k]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FNVWithLCG — hashSimpleLCG, java:131-154; FNV fold hashBytes, java:26-43
+# ---------------------------------------------------------------------------
+
+_FNV_PRIME = _U64(16777619)
+_FNV_OFFSET = _U64(2166136261)
+_LCG_MULT = _U64(0x5DEECE66D)
+_LCG_ADD = _U64(0xB)
+_LCG_MASK = _U64((1 << 48) - 1)
+
+
+def fnv_hash_bytes(keys: np.ndarray) -> np.ndarray:
+    """Vectorized replica of HashProvider.hashBytes -> int32 array.
+
+    Faithful to the Java quirk at HashProvider.java:37-38: the byte is
+    XORed into the 64-bit accumulator *sign-extended*, so a negative byte
+    sets the upper 32 bits, which then feed the next 64-bit multiply.
+    """
+    n = len(keys)
+    out = np.empty(n, dtype=np.int32)
+    with np.errstate(over="ignore"):
+        for idx, mat in _group_by_length(keys):
+            res = np.full(len(idx), _FNV_OFFSET, dtype=_U64)
+            signed = mat.astype(np.int8)
+            for j in range(mat.shape[1]):
+                res = (res * _FNV_PRIME) & _U64(0xFFFFFFFF)
+                res ^= signed[:, j].astype(np.int64).astype(_U64)
+            out[idx] = res.astype(_U32).astype(np.int32)
+    return out
+
+
+def positions_fnv_lcg(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    h = fnv_hash_bytes(keys).astype(np.int64)
+    reduced = np.abs(h)
+    reduced[h == _INT32_MIN] = 42  # java:142-143
+    seed = reduced.astype(_U64)
+    out = np.empty((len(keys), k), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            seed = (seed * _LCG_MULT + _LCG_ADD) & _LCG_MASK
+            out[:, i] = (seed >> _U64(18)).astype(np.int64) % m
+    return out
+
+
+# ---------------------------------------------------------------------------
+# hashCrypt — MD5 / SHA* / MD2, java:341-388
+# ---------------------------------------------------------------------------
+
+# Pure-Python MD2 (RFC 1319) — hashlib does not ship MD2.
+_MD2_S = [
+    41, 46, 67, 201, 162, 216, 124, 1, 61, 54, 84, 161, 236, 240, 6, 19,
+    98, 167, 5, 243, 192, 199, 115, 140, 152, 147, 43, 217, 188, 76, 130, 202,
+    30, 155, 87, 60, 253, 212, 224, 22, 103, 66, 111, 24, 138, 23, 229, 18,
+    190, 78, 196, 214, 218, 158, 222, 73, 160, 251, 245, 142, 187, 47, 238, 122,
+    169, 104, 121, 145, 21, 178, 7, 63, 148, 194, 16, 137, 11, 34, 95, 33,
+    128, 127, 93, 154, 90, 144, 50, 39, 53, 62, 204, 231, 191, 247, 151, 3,
+    255, 25, 48, 179, 72, 165, 181, 209, 215, 94, 146, 42, 172, 86, 170, 198,
+    79, 184, 56, 210, 150, 164, 125, 182, 118, 252, 107, 226, 156, 116, 4, 241,
+    69, 157, 112, 89, 100, 113, 135, 32, 134, 91, 207, 101, 230, 45, 168, 2,
+    27, 96, 37, 173, 174, 176, 185, 246, 28, 70, 97, 105, 52, 64, 126, 15,
+    85, 71, 163, 35, 221, 81, 175, 58, 195, 92, 249, 206, 186, 197, 234, 38,
+    44, 83, 13, 110, 133, 40, 132, 9, 211, 223, 205, 244, 65, 129, 77, 82,
+    106, 220, 55, 200, 108, 193, 171, 250, 36, 225, 123, 8, 12, 189, 177, 74,
+    120, 136, 149, 139, 227, 99, 232, 109, 233, 203, 213, 254, 59, 0, 29, 57,
+    242, 239, 183, 14, 102, 88, 208, 228, 166, 119, 114, 248, 235, 117, 75, 10,
+    49, 68, 80, 180, 143, 237, 31, 26, 219, 153, 141, 51, 159, 17, 131, 20,
+]
+
+
+def _md2(data: bytes) -> bytes:
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad] * pad)
+    checksum = bytearray(16)
+    l = 0
+    for i in range(0, len(data), 16):
+        for j in range(16):
+            c = data[i + j]
+            checksum[j] ^= _MD2_S[c ^ l]
+            l = checksum[j]
+    data = data + bytes(checksum)
+    x = bytearray(48)
+    for i in range(0, len(data), 16):
+        for j in range(16):
+            x[16 + j] = data[i + j]
+            x[32 + j] = x[16 + j] ^ x[j]
+        t = 0
+        for j in range(18):
+            for kk in range(48):
+                x[kk] ^= _MD2_S[t]
+                t = x[kk]
+            t = (t + j) % 256
+    return bytes(x[:16])
+
+
+def _digest_fn(method: str) -> Callable[[bytes], bytes]:
+    if method == "MD2":
+        return _md2
+    algo = {"MD5": "md5", "SHA1": "sha1", "SHA256": "sha256",
+            "SHA384": "sha384", "SHA512": "sha512"}[method]
+
+    def f(data: bytes, _algo=algo) -> bytes:
+        return hashlib.new(_algo, data).digest()
+
+    return f
+
+
+def positions_crypt(keys: np.ndarray, m: int, k: int, method: str) -> np.ndarray:
+    """Replica of HashProvider.hashCrypt (java:341-388).
+
+    digest_0 = H(value); digest_r = H(digest_{r-1} || value).  Each digest
+    is consumed little-endian (BitSet.valueOf) in slices of
+    ``m.bit_length()`` bits, each accepted iff < m.
+    """
+    digest = _digest_fn(method)
+    fs = m.bit_length()  # 32 - Integer.numberOfLeadingZeros(m), java:367
+    out = np.empty((len(keys), k), dtype=np.int64)
+    mask = (1 << fs) - 1
+    for row, key in enumerate(keys):
+        positions: List[int] = []
+        d = b""
+        while len(positions) < k:
+            d = digest(d + key)
+            big = int.from_bytes(d, "little")
+            nsplits = (len(d) * 8) // fs
+            for split in range(nsplits):
+                if len(positions) >= k:
+                    break
+                v = (big >> (split * fs)) & mask
+                if v < m:
+                    positions.append(v)
+        out[row] = positions
+    return out
+
+
+# ---------------------------------------------------------------------------
+# hashChecksum — CRC32 / Adler32, java:92-123
+# ---------------------------------------------------------------------------
+
+
+def _positions_checksum(keys: np.ndarray, m: int, k: int, kind: str) -> np.ndarray:
+    base_fn = zlib.crc32 if kind == "CRC32" else zlib.adler32
+    # Adler32's initial value is 1 (zlib default); CRC32's is 0.
+    init = 0 if kind == "CRC32" else 1
+    out = np.empty((len(keys), k), dtype=np.int64)
+    for row, key in enumerate(keys):
+        positions: List[int] = []
+        salt = 0
+        base = base_fn(key, init)
+        while len(positions) < k:
+            # cs.update(hashes + salt++ + seed32): Checksum.update(int)
+            # consumes only the low byte (java:116)
+            b = bytes([(len(positions) + salt + SEED32) & 0xFF])
+            salt += 1
+            val = base_fn(b, base) & 0xFFFFFFFF
+            signed = val - (1 << 32) if val >= (1 << 31) else val
+            h = rejection_sample_scalar(signed, m)
+            if h != -1:
+                positions.append(h)
+        out[row] = positions
+    return out
+
+
+def positions_crc32(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    return _positions_checksum(keys, m, k, "CRC32")
+
+
+def positions_adler32(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    return _positions_checksum(keys, m, k, "Adler32")
+
+
+# ---------------------------------------------------------------------------
+# java.util.Random replica — for RNG and CarterWegman methods
+# ---------------------------------------------------------------------------
+
+
+class JavaRandom:
+    """Minimal java.util.Random replica (LCG per the Java spec)."""
+
+    def __init__(self, seed: int):
+        self.seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def _next(self, bits: int) -> int:
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        r = self.seed >> (48 - bits)
+        if bits == 32 and r >= (1 << 31):
+            r -= 1 << 32
+        return r
+
+    def next_int(self, bound: int) -> int:
+        if bound <= 0:
+            raise ValueError("bound must be positive")
+        if (bound & -bound) == bound:  # power of two
+            return (bound * self._next(31)) >> 31
+        while True:
+            bits = self._next(31)
+            val = bits % bound
+            # int-overflow check from the Java spec
+            if _int32(bits - val + (bound - 1)) >= 0:
+                return val
+
+    def next_long(self) -> int:
+        hi = self._next(32)
+        lo = self._next(32)
+        v = (hi << 32) + lo
+        # wrap to signed 64-bit
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _int32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def positions_rng(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """hashRNG (java:75-82): Random(FNV(value)), k draws of nextInt(m)."""
+    seeds = fnv_hash_bytes(keys)
+    out = np.empty((len(keys), k), dtype=np.int64)
+    for row in range(len(keys)):
+        r = JavaRandom(int(seeds[row]))
+        out[row] = [r.next_int(m) for _ in range(k)]
+    return out
+
+
+_CW_PRIME64 = 53200200938189
+
+
+def positions_carter_wegman(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """hashCarterWegman (java:51-67): (a*v + b) mod prime64 mod m.
+
+    v = signed big-endian BigInteger of the value bytes (empty -> 0);
+    a, b drawn from Random(seed32).nextLong() — the (a, b) sequence is
+    identical for every key, so it is precomputed once.
+    """
+    r = JavaRandom(SEED32)
+    ab = [(r.next_long(), r.next_long()) for _ in range(k)]
+    out = np.empty((len(keys), k), dtype=np.int64)
+    for row, key in enumerate(keys):
+        v = int.from_bytes(key if key else b"\x00", "big", signed=True)
+        for i, (a, b) in enumerate(ab):
+            out[row, i] = ((a * v + b) % _CW_PRIME64) % m
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Murmur2 with input perturbation — java:236-302
+# ---------------------------------------------------------------------------
+
+
+def _murmur2(data: bytes, seed: int) -> int:
+    m = 0x5BD1E995
+    r = 24
+    length = len(data)
+    h = _int32(seed ^ length)
+    i = 0
+    rem = length
+    while rem >= 4:
+        k = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16) | (data[i + 3] << 24)
+        k = _int32(k)
+        k = _int32(k * m)
+        k = _int32(k ^ ((k & 0xFFFFFFFF) >> r))
+        k = _int32(k * m)
+        h = _int32(h * m)
+        h = _int32(h ^ k)
+        i += 4
+        rem -= 4
+    if rem == 3:
+        h = _int32(h ^ (data[i + 2] << 16))
+    if rem >= 2:
+        h = _int32(h ^ (data[i + 1] << 8))
+    if rem >= 1:
+        h = _int32(h ^ data[i])
+        h = _int32(h * m)
+    h = _int32(h ^ ((h & 0xFFFFFFFF) >> 13))
+    h = _int32(h * m)
+    h = _int32(h ^ ((h & 0xFFFFFFFF) >> 15))
+    return h
+
+
+def positions_murmur2(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    out = np.empty((len(keys), k), dtype=np.int64)
+    for row, key in enumerate(keys):
+        data = bytearray(key)
+        positions: List[int] = []
+        while len(positions) < k:
+            # input perturbation (java:245-253); Java byte 127 wraps to 0
+            # explicitly, all other values increment (mod 256)
+            for i in range(len(data)):
+                if data[i] == 127:
+                    data[i] = 0
+                    continue
+                data[i] = (data[i] + 1) & 0xFF
+                break
+            h = _murmur2(bytes(data), SEED32)
+            s = rejection_sample_scalar(h, m)
+            if s != -1:
+                positions.append(s)
+        out[row] = positions
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+HashFn = Callable[[np.ndarray, int, int], np.ndarray]
+
+_REGISTRY: Dict[str, HashFn] = {
+    "Murmur3KirschMitzenmacher": positions_murmur3_km,
+    "Murmur3": positions_murmur3,
+    "FNVWithLCG": positions_fnv_lcg,
+    "MD2": lambda keys, m, k: positions_crypt(keys, m, k, "MD2"),
+    "MD5": lambda keys, m, k: positions_crypt(keys, m, k, "MD5"),
+    "SHA1": lambda keys, m, k: positions_crypt(keys, m, k, "SHA1"),
+    "SHA256": lambda keys, m, k: positions_crypt(keys, m, k, "SHA256"),
+    "SHA384": lambda keys, m, k: positions_crypt(keys, m, k, "SHA384"),
+    "SHA512": lambda keys, m, k: positions_crypt(keys, m, k, "SHA512"),
+    "CRC32": positions_crc32,
+    "Adler32": positions_adler32,
+    "RNG": positions_rng,
+    "CarterWegman": positions_carter_wegman,
+    "Murmur2": positions_murmur2,
+}
+
+
+def get_hash_fn(method: str) -> HashFn:
+    """Resolve a hash method name (HashProvider.HashMethod enum names) or
+    accept a custom callable — the analog of the reference's pluggable
+    HashFunction interface (HashProvider.java:394-405,
+    FilterBuilder.hashFunction at FilterBuilder.java:283-286)."""
+    if callable(method):
+        return method
+    try:
+        return _REGISTRY[method]
+    except KeyError:
+        raise ValueError(f"Unknown hash method {method!r}") from None
+
+
+def hash_positions(keys: Sequence, m: int, k: int, method: str) -> np.ndarray:
+    """Compute the (N, k) position matrix for a batch of keys."""
+    arr = keys if isinstance(keys, np.ndarray) and keys.dtype == object else as_bytes_array(keys)
+    return get_hash_fn(method)(arr, m, k)
