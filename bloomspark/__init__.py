@@ -21,8 +21,27 @@ from .params import (
 from .filter import BloomFilter, merge_all, population_estimate
 from .counting import CountingBloomFilter, merge_all_counting
 from .hashing import hash_positions, murmur3_32, as_bytes_array
+from .build import (
+    build_bloom,
+    build_counting,
+    build_counting_with_removals,
+    build_partials,
+)
+from .probe import with_membership, with_estimated_count
+from .grouped import build_bloom_per_group, build_counting_per_group
+from .checkpoint import build_bloom_checkpointed, load as load_checkpoint
 
 __all__ = [
+    "build_bloom",
+    "build_counting",
+    "build_counting_with_removals",
+    "build_partials",
+    "with_membership",
+    "with_estimated_count",
+    "build_bloom_per_group",
+    "build_counting_per_group",
+    "build_bloom_checkpointed",
+    "load_checkpoint",
     "FilterConfig",
     "BloomFilter",
     "CountingBloomFilter",

@@ -1,0 +1,194 @@
+"""Checkpoint-resumable builds with per-partition lineage + metrics.
+
+The Spark replacement for the reference's named-filter persistence
+(config stored under the filter name with load-or-create semantics,
+redis/helper/RedisKeys.java:35-57; ``overwriteIfExists``,
+FilterBuilder.java:241-244).
+
+Layout of a checkpoint directory:
+
+    <dir>/config.json            filter configuration + build parameters
+    <dir>/partials/              parquet: one row per bucket
+        (bucket, rows, ones, fingerprint, t_ms, bitset)
+    <dir>/bitset.bin             final merged bitset (written when complete)
+    <dir>/lineage.json           per-bucket lineage + metrics snapshot
+
+Resumability: rows are bucketed by ``pmod(xxhash64(key), num_buckets)``
+— a deterministic content-addressed partitioning, so a bucket's input
+(and therefore its partial) is identical across runs over the same
+table.  On resume, buckets already present in ``partials/`` are skipped
+and only missing buckets are scanned and rebuilt; the final filter is
+byte-identical to a cold build (asserted in tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import _key_series_to_bytes, key_column
+from .filter import BloomFilter, popcount
+from .hashing import get_hash_fn, murmur3_32
+from .params import FilterConfig
+
+BUCKET_SCHEMA = (
+    "bucket int, rows bigint, ones bigint, fingerprint bigint, "
+    "t_ms double, bitset binary"
+)
+
+
+def _bucket_builder(config: FilterConfig):
+    m, k = config.m, config.k
+    method = config.hash_method
+    num_bytes = config.num_bytes
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        keys = _key_series_to_bytes(pdf["__key"])
+        pos = get_hash_fn(method)(keys, m, k)
+        seen = np.zeros(m, dtype=bool)
+        seen[pos.ravel()] = True
+        bits = np.packbits(seen, bitorder="little")
+        if bits.size < num_bytes:
+            bits = np.pad(bits, (0, num_bytes - bits.size))
+        fp = int(murmur3_32(keys, 0).astype(np.uint64).sum() % np.uint64(2**63)) if len(keys) else 0
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["__bucket"].iloc[0])],
+                "rows": [len(keys)],
+                "ones": [popcount(bits)],
+                "fingerprint": [fp],
+                "t_ms": [(time.time() - t0) * 1000.0],
+                "bitset": [bits.tobytes()],
+            }
+        )
+
+    return build
+
+
+def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> List[int]:
+    """Buckets whose partials already exist (the resume skip-list)."""
+    path = os.path.join(checkpoint_dir, "partials")
+    if not os.path.exists(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return []
+    return [
+        r["bucket"]
+        for r in spark.read.parquet(path).select("bucket").distinct().collect()
+    ]
+
+
+def build_bloom_checkpointed(
+    df: DataFrame,
+    col: str,
+    config: FilterConfig,
+    checkpoint_dir: str,
+    *,
+    num_buckets: int = 32,
+    overwrite_if_exists: bool = False,
+) -> BloomFilter:
+    """Build (or resume building) a Bloom filter with durable per-bucket
+    partials and lineage.
+
+    Kill the job at any point; re-running with the same arguments scans
+    only the buckets whose partials are missing and produces a
+    byte-identical filter.
+    """
+    spark = df.sparkSession
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    config_path = os.path.join(checkpoint_dir, "config.json")
+    partials_path = os.path.join(checkpoint_dir, "partials")
+
+    if os.path.exists(config_path) and not overwrite_if_exists:
+        existing = FilterConfig.from_dict(json.load(open(config_path))["config"])
+        if not existing.is_compatible_to(config):
+            raise ValueError(
+                f"Checkpoint at {checkpoint_dir} holds an incompatible config "
+                f"{existing}; pass overwrite_if_exists=True to rebuild."
+            )
+    else:
+        if overwrite_if_exists and os.path.exists(partials_path):
+            import shutil
+
+            shutil.rmtree(partials_path, ignore_errors=True)
+        with open(config_path, "w") as f:
+            json.dump({"config": config.to_dict(), "num_buckets": num_buckets}, f)
+
+    meta = json.load(open(config_path))
+    if meta["num_buckets"] != num_buckets:
+        raise ValueError(
+            f"Checkpoint was started with num_buckets={meta['num_buckets']}, "
+            f"got {num_buckets}"
+        )
+
+    done = set(completed_buckets(spark, checkpoint_dir))
+    missing = [b for b in range(num_buckets) if b not in done]
+
+    if missing:
+        keyed = df.select(key_column(col).alias("__key")).withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col("__key")), F.lit(num_buckets))
+        )
+        if len(missing) < num_buckets:
+            keyed = keyed.where(F.col("__bucket").isin(missing))
+        partials = keyed.groupBy("__bucket").applyInPandas(
+            _bucket_builder(config), schema=BUCKET_SCHEMA
+        )
+        partials.write.mode("append").parquet(partials_path)
+
+    # Final merge + lineage snapshot
+    all_rows = spark.read.parquet(partials_path).collect()
+    acc = np.zeros(config.num_bytes, dtype=np.uint8)
+    lineage = {}
+    for row in all_rows:
+        np.bitwise_or(acc, np.frombuffer(row["bitset"], dtype=np.uint8), out=acc)
+        lineage[str(row["bucket"])] = {
+            "rows": row["rows"],
+            "ones": row["ones"],
+            "fingerprint": row["fingerprint"],
+            "t_ms": row["t_ms"],
+        }
+    bf = BloomFilter(config, acc)
+    with open(os.path.join(checkpoint_dir, "bitset.bin"), "wb") as f:
+        f.write(bf.to_bytes())
+    with open(os.path.join(checkpoint_dir, "lineage.json"), "w") as f:
+        json.dump(
+            {
+                "num_buckets": num_buckets,
+                "resumed_buckets": sorted(done),
+                "built_buckets": missing,
+                "total_rows": int(sum(l["rows"] for l in lineage.values())),
+                "ones": bf.cardinality(),
+                "estimated_population": bf.get_estimated_population(),
+                "buckets": lineage,
+            },
+            f,
+            indent=2,
+        )
+    return bf
+
+
+def load(checkpoint_dir: str) -> Optional[BloomFilter]:
+    """Load a completed filter from a checkpoint dir (load-or-create
+    read side, RedisKeys.java:35-57 analog)."""
+    config_path = os.path.join(checkpoint_dir, "config.json")
+    bits_path = os.path.join(checkpoint_dir, "bitset.bin")
+    if not (os.path.exists(config_path) and os.path.exists(bits_path)):
+        return None
+    config = FilterConfig.from_dict(json.load(open(config_path))["config"])
+    with open(bits_path, "rb") as f:
+        return BloomFilter.from_bytes(config, f.read())
+
+
+def remove(checkpoint_dir: str) -> None:
+    """Delete filter + metadata (BloomFilter.remove, java:183-185 analog)."""
+    import shutil
+
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)

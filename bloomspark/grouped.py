@@ -1,0 +1,150 @@
+"""Per-group Bloom filters with salted two-phase merge (skew handling).
+
+Builds one filter per group (e.g. one per ``repo``) as a DataFrame of
+``(group, rows, ones, bitset)``.  Skewed groups — the Zipf-heavy repo in
+FIXTURES.md F1 — would overload a single reducer under a naive
+``groupBy(group)``, so the build is two-phase:
+
+stage 1: ``groupBy(group, salt)`` partial bitsets, where
+         ``salt = pmod(xxhash64(key), salt_partitions)`` splits a hot
+         group across ``salt_partitions`` reducers;
+stage 2: ``groupBy(group)`` OR-merge of the (at most salt_partitions)
+         partials per group — tiny inputs, no skew.
+
+This is the "salting + two-phase merge" the north rule requires;
+Catalyst's AQE skew handling only covers joins/native aggs, not custom
+pandas partials, so it is hand-rolled here (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .build import _key_series_to_bytes, key_column
+from .counting import add_saturating, counter_dtype, counter_max
+from .filter import BloomFilter, popcount
+from .hashing import get_hash_fn, murmur3_32
+from .params import FilterConfig
+
+GROUPED_SCHEMA = "group string, rows bigint, ones bigint, bitset binary"
+GROUPED_COUNTING_SCHEMA = "group string, rows bigint, nonzero bigint, counters binary"
+
+
+def build_bloom_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    config: FilterConfig,
+    *,
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """One Bloom filter per group -> DataFrame (group, rows, ones, bitset)."""
+    m, k = config.m, config.k
+    method = config.hash_method
+    num_bytes = config.num_bytes
+
+    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = _key_series_to_bytes(pdf["__key"])
+        pos = get_hash_fn(method)(keys, m, k)
+        seen = np.zeros(m, dtype=bool)
+        seen[pos.ravel()] = True
+        bits = np.packbits(seen, bitorder="little")
+        if bits.size < num_bytes:
+            bits = np.pad(bits, (0, num_bytes - bits.size))
+        return pd.DataFrame(
+            {
+                "group": [pdf["__group"].iloc[0]],
+                "rows": [len(keys)],
+                "ones": [popcount(bits)],
+                "bitset": [bits.tobytes()],
+            }
+        )
+
+    def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrays = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitset"]]
+        acc = np.bitwise_or.reduce(np.vstack(arrays), axis=0)
+        return pd.DataFrame(
+            {
+                "group": [pdf["group"].iloc[0]],
+                "rows": [int(pdf["rows"].sum())],
+                "ones": [popcount(acc)],
+                "bitset": [acc.tobytes()],
+            }
+        )
+
+    keyed = df.select(
+        F.col(group_col).cast("string").alias("__group"),
+        key_column(key_col).alias("__key"),
+        F.pmod(F.xxhash64(key_column(key_col)), F.lit(salt_partitions)).alias("__salt"),
+    )
+    partials = keyed.groupBy("__group", "__salt").applyInPandas(
+        stage1, schema=GROUPED_SCHEMA
+    )
+    return partials.groupBy("group").applyInPandas(stage2, schema=GROUPED_SCHEMA)
+
+
+def build_counting_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    config: FilterConfig,
+    *,
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """One counting filter per group -> (group, rows, nonzero, counters)."""
+    m, k = config.m, config.k
+    method = config.hash_method
+    dt = counter_dtype(config.counting_bits)
+    mx = counter_max(config.counting_bits)
+
+    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = _key_series_to_bytes(pdf["__key"])
+        pos = get_hash_fn(method)(keys, m, k)
+        counters = np.zeros(m, dtype=dt)
+        add_saturating(counters, np.bincount(pos.ravel(), minlength=m), mx)
+        return pd.DataFrame(
+            {
+                "group": [pdf["__group"].iloc[0]],
+                "rows": [len(keys)],
+                "nonzero": [int(np.count_nonzero(counters))],
+                "counters": [counters.tobytes()],
+            }
+        )
+
+    def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m, dtype=dt)
+        for b in pdf["counters"]:
+            add_saturating(acc, np.frombuffer(b, dtype=dt), mx)
+        return pd.DataFrame(
+            {
+                "group": [pdf["group"].iloc[0]],
+                "rows": [int(pdf["rows"].sum())],
+                "nonzero": [int(np.count_nonzero(acc))],
+                "counters": [acc.tobytes()],
+            }
+        )
+
+    keyed = df.select(
+        F.col(group_col).cast("string").alias("__group"),
+        key_column(key_col).alias("__key"),
+        F.pmod(F.xxhash64(key_column(key_col)), F.lit(salt_partitions)).alias("__salt"),
+    )
+    partials = keyed.groupBy("__group", "__salt").applyInPandas(
+        stage1, schema=GROUPED_COUNTING_SCHEMA
+    )
+    return partials.groupBy("group").applyInPandas(
+        stage2, schema=GROUPED_COUNTING_SCHEMA
+    )
+
+
+def collect_group_filters(grouped: DataFrame, config: FilterConfig) -> dict:
+    """Collect a per-group build into {group: BloomFilter} (small dims)."""
+    return {
+        row["group"]: BloomFilter.from_bytes(config, row["bitset"])
+        for row in grouped.collect()
+    }

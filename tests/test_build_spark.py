@@ -1,0 +1,205 @@
+"""Distributed build/probe correctness: the Spark layer must be
+byte-identical to the driver-side library, across partitionings and
+merge orders (the distributed extension of BloomFilterTest.addAllTest's
+bit-identity assertion, BloomFilterTest.java:123-139)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomspark import BloomFilter, CountingBloomFilter, FilterConfig
+from bloomspark.build import (
+    build_bloom,
+    build_counting,
+    build_counting_with_removals,
+    build_partials,
+    merge_partial_rows,
+)
+from bloomspark.grouped import (
+    build_bloom_per_group,
+    build_counting_per_group,
+    collect_group_filters,
+)
+from bloomspark.probe import with_estimated_count, with_membership
+
+CFG = FilterConfig.complete(n=10_000, p=0.01)
+
+
+def local_filter(config, keys):
+    from bloomspark.filter import set_positions
+    from bloomspark.hashing import hash_positions
+
+    bf = BloomFilter(config)
+    set_positions(bf.bits, hash_positions(keys, config.m, config.k, config.hash_method))
+    return bf
+
+
+def test_distributed_build_matches_local(spark, orders):
+    keys = [str(r[0]) for r in orders.select("o_orderkey").collect()]
+    expected = local_filter(CFG, keys)
+    got = build_bloom(orders, "o_orderkey", CFG)
+    assert got == expected
+    assert got.to_bytes() == expected.to_bytes()
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_build_partition_count_invariance(spark, orders, parts):
+    """F5 extension: P ∈ {1, 3, 16} partitions -> byte-identical filters."""
+    base = build_bloom(orders, "o_orderkey", CFG)
+    redist = build_bloom(orders.repartition(parts), "o_orderkey", CFG)
+    assert redist.to_bytes() == base.to_bytes()
+
+
+def test_tree_merge_path_identical(spark, orders):
+    direct = build_bloom(orders, "o_orderkey", CFG)
+    treed = build_bloom(
+        orders.repartition(12),
+        "o_orderkey",
+        CFG,
+        tree_merge_threshold=4,
+        tree_merge_groups=3,
+    )
+    assert treed.to_bytes() == direct.to_bytes()
+
+
+def test_partials_lineage_metrics(spark, orders):
+    partials = build_partials(orders.repartition(4), "o_orderkey", CFG).collect()
+    assert len(partials) == 4
+    total = sum(r["rows"] for r in partials)
+    assert total == orders.count()
+    for r in partials:
+        assert r["ones"] > 0 and r["t_ms"] >= 0 and r["fingerprint"] >= 0
+    merged = merge_partial_rows(partials, CFG)
+    assert merged == build_bloom(orders, "o_orderkey", CFG)
+
+
+def test_probe_column_no_false_negatives(spark, orders, customer):
+    bf = build_bloom(orders, "o_custkey", CFG)
+    probed = with_membership(customer, "c_custkey", bf).collect()
+    truth = {r[0] for r in orders.select("o_custkey").distinct().collect()}
+    for row in probed:
+        if row["c_custkey"] in truth:
+            assert row["member"], f"false negative for {row['c_custkey']}"
+
+
+def test_probe_matches_driver_contains(spark, customer, orders):
+    bf = build_bloom(orders, "o_custkey", CFG)
+    rows = with_membership(customer, "c_custkey", bf).select("c_custkey", "member").collect()
+    for r in rows:
+        assert r["member"] == bf.contains(str(r["c_custkey"]))
+
+
+def test_counting_build_matches_local(spark, lineitem):
+    cfg = FilterConfig.complete(n=2000, p=1e-6, counting_bits=16)
+    keys = [str(r[0]) for r in lineitem.select("l_partkey").collect()]
+    local = CountingBloomFilter(cfg)
+    local.add_batch(keys)
+    dist = build_counting(lineitem, "l_partkey", cfg)
+    assert dist == local
+    # and the estimates equal exact counts at this tiny FPP
+    exact = (
+        lineitem.groupBy("l_partkey").count().collect()
+    )
+    for r in exact[:50]:
+        assert dist.get_estimated_count(str(r["l_partkey"])) == r["count"]
+
+
+def test_counting_estimated_count_column(spark, lineitem):
+    cfg = FilterConfig.complete(n=2000, p=1e-6, counting_bits=32)
+    cbf = build_counting(lineitem, "l_partkey", cfg)
+    exact = {r["l_partkey"]: r["count"] for r in lineitem.groupBy("l_partkey").count().collect()}
+    probed = with_estimated_count(
+        lineitem.select("l_partkey").distinct(), "l_partkey", cbf
+    ).collect()
+    for r in probed:
+        assert r["est_count"] == exact[r["l_partkey"]]
+
+
+def test_distributed_remove(spark, lineitem):
+    cfg = FilterConfig.complete(n=2000, p=1e-6, counting_bits=32)
+    adds = lineitem
+    removes = lineitem.where(F.col("l_returnflag") == "R")
+    result = build_counting_with_removals(adds, removes, "l_partkey", cfg)
+    exact = {
+        r["l_partkey"]: r["count"]
+        for r in lineitem.where(F.col("l_returnflag") != "R")
+        .groupBy("l_partkey")
+        .count()
+        .collect()
+    }
+    sample = list(exact.items())[:50]
+    for key, cnt in sample:
+        assert result.get_estimated_count(str(key)) == cnt
+    # removing everything -> empty filter
+    empty = build_counting_with_removals(adds, adds, "l_partkey", cfg)
+    assert empty.is_empty()
+
+
+def test_grouped_build_with_skew(spark, code_table):
+    """Per-repo filters via salted two-phase merge over the Zipf table."""
+    cfg = FilterConfig.complete(n=500, p=0.001)
+    grouped = build_bloom_per_group(code_table, "repo", "sha", cfg, salt_partitions=4)
+    filters = collect_group_filters(grouped, cfg)
+    # hot group exists and has ~20% of rows
+    rows = code_table.withColumn("sha", F.sha2("content", 256)).collect()
+    by_repo = {}
+    for r in rows:
+        by_repo.setdefault(r["repo"], set()).add(r["sha"])
+    assert len(by_repo["org0/repo0"]) > 50
+    for repo, shas in by_repo.items():
+        bf = filters[repo]
+        for sha in list(shas)[:20]:
+            assert bf.contains(sha), (repo, sha)
+    # salted two-phase must equal a driver-side per-group build
+    for repo in ("org0/repo0", "org1/repo1"):
+        expected = local_filter(cfg, sorted(by_repo[repo]))
+        # driver build over the set; distributed hashed the multiset — same bits
+        assert filters[repo].to_bytes() == expected.to_bytes()
+
+
+def test_grouped_counting_build(spark, code_table):
+    cfg = FilterConfig.complete(n=500, p=1e-6, counting_bits=32)
+    grouped = build_counting_per_group(code_table, "repo", "sha", cfg, salt_partitions=4)
+    rows = {r["group"]: r for r in grouped.collect()}
+    exact = {
+        r["repo"]: r["cnt"]
+        for r in code_table.groupBy("repo").agg(F.count("*").alias("cnt")).collect()
+    }
+    for repo, cnt in exact.items():
+        assert rows[repo]["rows"] == cnt
+
+
+def test_datagen_sha_invariant(spark, code_table):
+    """Per-row invariant vs reference ingestion: Spark's sha2(content,256)
+    equals Python hashlib.sha256 over UTF-8 (BASELINE.json input_hint)."""
+    import hashlib
+
+    from bloomspark.datagen import with_keys
+
+    sample = with_keys(code_table).select("content", "sha").limit(100).collect()
+    for r in sample:
+        assert hashlib.sha256(r["content"].encode("utf-8")).hexdigest() == r["sha"]
+
+
+def test_datagen_deterministic_across_partitionings(spark):
+    from bloomspark.datagen import source_code_table
+
+    a = source_code_table(spark, 500, partitions=1).orderBy("commit").collect()
+    b = source_code_table(spark, 500, partitions=7).orderBy("commit").collect()
+    assert a == b
+
+
+def test_probe_disjoint_fpp_bound(spark):
+    """F7: observed FPP on a disjoint probe set within 2x configured."""
+    from bloomspark.datagen import probe_table, source_code_table, with_keys
+
+    insert = with_keys(source_code_table(spark, 5000))
+    cfg = FilterConfig.complete(n=5000, p=0.01)
+    bf = build_bloom(insert, "sha", cfg)
+    probes = probe_table(spark, 20_000)
+    # verify disjointness, then measure
+    overlap = insert.select("sha").intersect(probes.select("sha")).count()
+    assert overlap == 0
+    hits = with_membership(probes, "sha", bf).where(F.col("member")).count()
+    observed = hits / 20_000
+    assert observed <= 2 * 0.01, f"observed FPP {observed:.4%}"
