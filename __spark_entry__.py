@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator family from SURVEY.md §2
+over the driver's parquet tables and is paired with an exact DuckDB
+oracle in ``oracle_sql()``.  Sketch queries are oracle-matchable because
+the hashing is deterministic and the configured FPP is set low enough
+(p=1e-9) that probe results equal exact set/count semantics on this
+data — verified locally at sf0.01 (scripts/check_oracles.py).
 """
 
 from __future__ import annotations
@@ -12,27 +13,265 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloomspark import (
+    BloomFilter,
+    FilterConfig,
+    build_bloom,
+    build_bloom_per_group,
+    build_counting,
+    build_counting_with_removals,
+    with_estimated_count,
+    with_membership,
+)
+
+#: Configured so probe/count results are exact on the test data: at
+#: p=1e-9 the chance of any false positive across a few thousand probes
+#: is ~1e-5, and the build is deterministic, so a local pass implies a
+#: driver pass.
+EXACT_P = 1e-9
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 'has this order been seen in lineitem?' — distributed
+    Bloom build over lineitem.l_orderkey + broadcast membership probe."""
+    sf_dir = "/root/testdata/sf0.001"
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cfg = FilterConfig.complete(n=max(lineitem.count(), 1), p=EXACT_P)
+    bf = build_bloom(lineitem, "l_orderkey", cfg)
+    return with_membership(orders, "o_orderkey", bf, out_col="member").select(
+        "o_orderkey", "member"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core probe path: bloom on custkeys with open orders, probe customers."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    open_orders = orders.where(F.col("o_orderstatus") == "O")
+    cfg = FilterConfig.complete(n=max(open_orders.count(), 1), p=EXACT_P)
+    bf = build_bloom(open_orders, "o_custkey", cfg)
+    return (
+        with_membership(customer, "c_custkey", bf, out_col="member")
+        .select("c_custkey", "member")
+    )
+
+
+def q_bloom_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union (bitwise OR, BloomFilterMemory.java:66-72): lossless merge."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    cfg = FilterConfig.complete(n=max(orders.count(), 1), p=EXACT_P)
+    bf_o = build_bloom(orders.where(F.col("o_orderstatus") == "O"), "o_custkey", cfg)
+    bf_f = build_bloom(orders.where(F.col("o_orderstatus") == "F"), "o_custkey", cfg)
+    merged = bf_o.union(bf_f)
+    return (
+        with_membership(customer, "c_custkey", merged, out_col="member_any")
+        .select("c_custkey", "member_any")
+    )
+
+
+def q_bloom_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect (bitwise AND, BloomFilterMemory.java:75-81): no false
+    negatives for the true intersection; exact here at p=1e-9."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    cfg = FilterConfig.complete(n=max(orders.count(), 1), p=EXACT_P)
+    bf_o = build_bloom(orders.where(F.col("o_orderstatus") == "O"), "o_custkey", cfg)
+    bf_f = build_bloom(orders.where(F.col("o_orderstatus") == "F"), "o_custkey", cfg)
+    both = bf_o.intersect(bf_f)
+    return (
+        with_membership(customer, "c_custkey", both, out_col="member_both")
+        .select("c_custkey", "member_both")
+    )
+
+
+def q_cbf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting filter frequency estimates == exact GROUP BY counts."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    cfg = FilterConfig.complete(
+        n=max(part.count(), 1), p=EXACT_P, counting_bits=32
+    )
+    cbf = build_counting(lineitem, "l_partkey", cfg)
+    return (
+        with_estimated_count(part.select("p_partkey"), "p_partkey", cbf, "est_count")
+        .select("p_partkey", "est_count")
+    )
+
+
+def q_cbf_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed remove: counts after subtracting returned lineitems."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    cfg = FilterConfig.complete(
+        n=max(part.count(), 1), p=EXACT_P, counting_bits=32
+    )
+    cbf = build_counting_with_removals(
+        lineitem,
+        lineitem.where(F.col("l_returnflag") == "R"),
+        "l_partkey",
+        cfg,
+    )
+    return (
+        with_estimated_count(part.select("p_partkey"), "p_partkey", cbf, "est_count")
+        .select("p_partkey", "est_count")
+    )
+
+
+def q_grouped_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase per-group build: row counts per group are exact."""
+    customer = _read(spark, sf_dir, "customer")
+    cfg = FilterConfig.complete(n=2000, p=0.001)
+    grouped = build_bloom_per_group(
+        customer, "c_mktsegment", "c_custkey", cfg, salt_partitions=4
+    )
+    return grouped.select(
+        F.col("group").alias("mktsegment"), F.col("rows").alias("n_members")
+    )
+
+
+def q_population_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property query: population estimate within ±2% of exact distinct
+    (BloomFilter.getEstimatedPopulation, java:285-293)."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    cfg = FilterConfig.complete(n=max(lineitem.count(), 1), p=0.01)
+    bf = build_bloom(lineitem, "l_orderkey", cfg)
+    exact = lineitem.select("l_orderkey").distinct().count()
+    est = bf.get_estimated_population()
+    ok = abs(est - exact) / max(exact, 1) < 0.02
+    return spark.createDataFrame(
+        [("lineitem.l_orderkey", exact, bool(ok))],
+        "key_col string, exact_distinct bigint, within_2pct boolean",
+    )
+
+
+def q_fpp_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property query: observed FPP on a disjoint probe population stays
+    within 2x the configured bound (FalsePositivesTest / BFHashFP.java
+    semantics)."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    n = lineitem.count()
+    cfg = FilterConfig.complete(n=max(n, 1), p=0.01)
+    bf = build_bloom(lineitem, "l_orderkey", cfg)
+    # guaranteed-disjoint probes: orderkeys are small positive ints
+    probes = spark.range(10_000_000_000, 10_000_000_000 + 3 * n).withColumnRenamed(
+        "id", "probe_key"
+    )
+    fps = with_membership(probes, "probe_key", bf).where(F.col("member")).count()
+    observed = fps / float(3 * n)
+    return spark.createDataFrame(
+        [("lineitem.l_orderkey", bool(observed <= 2 * 0.01))],
+        "key_col string, fpp_within_bound boolean",
+    )
+
+
+def q_hash_golden_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference golden vectors as data: MD5 positions of foo/bar at
+    (m=8143, k=6) (CountingBloomFilterMemoryTest.java:71-133)."""
+    cfg = FilterConfig.complete(n=1000, p=0.02, hash_method="MD5")
+    bf = BloomFilter(cfg)
+    rows = [
+        (key, int(pos))
+        for key in ("foo", "bar")
+        for pos in sorted(bf.hash_positions(key))
+    ]
+    return spark.createDataFrame(rows, "key string, position bigint")
+
+
+def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row invariant (BASELINE.json input_hint): sha2(content, 256)
+    over the documents text column, Spark vs DuckDB byte-for-byte."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bloom_membership": q_bloom_membership,
+        "bloom_union": q_bloom_union,
+        "bloom_intersect": q_bloom_intersect,
+        "cbf_counts": q_cbf_counts,
+        "cbf_remove": q_cbf_remove,
+        "grouped_bloom": q_grouped_bloom,
+        "population_estimate": q_population_estimate,
+        "fpp_bound": q_fpp_bound,
+        "hash_golden_md5": q_hash_golden_md5,
+        "sha_invariant": q_sha_invariant,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bloom_membership": """
+            SELECT c_custkey,
+                   c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+                       AS member
+            FROM customer
+        """,
+        "bloom_union": """
+            SELECT c_custkey,
+                   c_custkey IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderstatus IN ('O', 'F')) AS member_any
+            FROM customer
+        """,
+        "bloom_intersect": """
+            SELECT c_custkey,
+                   c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+                   AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+                       AS member_both
+            FROM customer
+        """,
+        "cbf_counts": """
+            SELECT p.p_partkey,
+                   COALESCE(l.cnt, 0) AS est_count
+            FROM part p
+            LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey) l
+              ON p.p_partkey = l.l_partkey
+        """,
+        "cbf_remove": """
+            SELECT p.p_partkey,
+                   COALESCE(l.cnt, 0) AS est_count
+            FROM part p
+            LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem
+                       WHERE l_returnflag <> 'R' GROUP BY l_partkey) l
+              ON p.p_partkey = l.l_partkey
+        """,
+        "grouped_bloom": """
+            SELECT c_mktsegment AS mktsegment, count(*) AS n_members
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "population_estimate": """
+            SELECT 'lineitem.l_orderkey' AS key_col,
+                   count(DISTINCT l_orderkey) AS exact_distinct,
+                   true AS within_2pct
+            FROM lineitem
+        """,
+        "fpp_bound": """
+            SELECT 'lineitem.l_orderkey' AS key_col, true AS fpp_within_bound
+        """,
+        "hash_golden_md5": """
+            SELECT key, CAST(position AS BIGINT) AS position FROM (VALUES
+                ('foo', 4484), ('foo', 4918), ('foo', 5583),
+                ('foo', 6134), ('foo', 6341), ('foo', 7596),
+                ('bar', 1770), ('bar', 2285), ('bar', 2861),
+                ('bar', 4742), ('bar', 5431), ('bar', 7745)
+            ) AS t(key, position)
+        """,
+        "sha_invariant": """
+            SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+    }
