@@ -1,0 +1,258 @@
+#!/usr/bin/env python
+"""Headline benchmark: distributed Bloom build/probe/count throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ..., "rows_per_sec": ...}``.
+
+Pass ``--scaling`` to additionally run the identical build job at two
+parallelism levels (local[N] vs local[4N]) on the same input and report
+throughput + scaling efficiency (the sandbox adaptation of the
+two-cluster-size criterion, BASELINE.md 'Our target protocol').
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def make_spark(cores: int, app: str = "bloomspark-bench"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        # small bench files must still split across all cores
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "0")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark, sf_dir: str):
+    """Each entry: name -> (seconds, rows_processed)."""
+    from pyspark.sql import functions as F
+
+    from bloomspark import (
+        FilterConfig,
+        build_bloom,
+        build_counting,
+        with_estimated_count,
+        with_membership,
+    )
+    from bloomspark.grouped import build_bloom_per_group
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_li = lineitem.count()
+    n_ord = orders.count()
+
+    results = {}
+
+    def timed(name, fn, rows):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        results[name] = (dt, rows)
+
+    # the bench parquet files hold a single row group, so an explicit
+    # repartition (included in the timing) is required for any parallelism
+    nparts = 2 * CPUS
+    cfg = FilterConfig.complete(n=n_li, p=0.01)
+    # warm-up outside the timings: Python worker spawn + numpy/Arrow JIT
+    build_bloom(lineitem.limit(10_000), "l_orderkey", cfg, num_partitions=4)
+    bf_holder = {}
+
+    timed(
+        "q1_bloom_build",
+        lambda: bf_holder.__setitem__(
+            "bf", build_bloom(lineitem, "l_orderkey", cfg, num_partitions=nparts)
+        ),
+        n_li,
+    )
+    bf = bf_holder["bf"]
+
+    timed(
+        "q2_bloom_probe",
+        lambda: with_membership(orders, "o_orderkey", bf)
+        .where(F.col("member"))
+        .count(),
+        n_ord,
+    )
+
+    ccfg = FilterConfig.complete(n=max(n_li // 30, 1000), p=1e-6, counting_bits=16)
+    cbf_holder = {}
+    timed(
+        "q3_counting_build",
+        lambda: cbf_holder.__setitem__(
+            "c", build_counting(lineitem, "l_partkey", ccfg, num_partitions=nparts)
+        ),
+        n_li,
+    )
+
+    timed(
+        "q4_count_probe",
+        lambda: with_estimated_count(
+            lineitem.select("l_partkey"), "l_partkey", cbf_holder["c"]
+        )
+        .agg(F.sum("est_count"))
+        .collect(),
+        n_li,
+    )
+
+    gcfg = FilterConfig.complete(n=max(n_ord // 3, 1000), p=0.001)
+    timed(
+        "q5_grouped_salted_build",
+        lambda: build_bloom_per_group(
+            orders, "o_orderpriority", "o_orderkey", gcfg, salt_partitions=8
+        ).collect(),
+        n_ord,
+    )
+
+    # sha-keyed build over a composite string key (string-heavy hashing path)
+    scfg = FilterConfig.complete(n=n_li, p=0.01)
+    timed(
+        "q6_sha_key_build",
+        lambda: build_bloom(
+            lineitem.select(
+                F.sha2(
+                    F.concat_ws(":", "l_orderkey", "l_linenumber"), 256
+                ).alias("sha")
+            ),
+            "sha",
+            scfg,
+            num_partitions=nparts,
+        ),
+        n_li,
+    )
+
+    return results
+
+
+SCALING_ROWS = int(os.environ.get("BLOOMSPARK_SCALING_ROWS", "20000000"))
+
+
+def scaling_worker(cores: int) -> None:
+    """One scaling measurement in a fresh JVM: the identical CPU-bound
+    build job, varying only the core count (same rows, same partitions).
+    Prints one JSON line consumed by run_scaling."""
+    from pyspark.sql import SparkSession, functions as F
+
+    from bloomspark import FilterConfig, build_bloom
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bloomspark-scaling-{cores}")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    nparts = 64  # fixed across levels; >= 2 tasks/core at the big level
+    cfg = FilterConfig.complete(n=SCALING_ROWS, p=0.01)
+    keys = spark.range(0, SCALING_ROWS, 1, nparts).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("sha")
+    )
+    # warm-up excluded from the measurement: spawns every Python worker
+    # (same partition count as the measured job), JIT, Arrow buffers
+    warm = spark.range(0, 1_000_000, 1, nparts).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("sha")
+    )
+    build_bloom(warm, "sha", cfg)
+    # best-of-3: the sandbox host shows ~2x run-to-run noise, so a single
+    # timing is meaningless; the minimum is the least-noisy estimate
+    best = None
+    bf = None
+    for _ in range(3):
+        t0 = time.time()
+        bf = build_bloom(keys, "sha", cfg)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(
+        json.dumps(
+            {"cores": cores, "sec": best, "rows_per_sec": SCALING_ROWS / best,
+             "ones": bf.cardinality()}
+        )
+    )
+    spark.stop()
+
+
+def run_scaling(n_small: int, n_big: int):
+    """Launch the identical job at two parallelism levels, each in its own
+    process (fresh JVM — the sandbox stand-in for two cluster sizes)."""
+    import subprocess
+
+    out = {}
+    for cores in (n_small, n_big):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        out[cores] = json.loads(line)
+    assert out[n_small]["ones"] == out[n_big]["ones"], "results must be identical"
+    eff = out[n_big]["rows_per_sec"] / (
+        (n_big / n_small) * out[n_small]["rows_per_sec"]
+    )
+    return {
+        "rows": SCALING_ROWS,
+        "cores_small": n_small,
+        "cores_big": n_big,
+        "sec_small": round(out[n_small]["sec"], 2),
+        "sec_big": round(out[n_big]["sec"], 2),
+        "throughput_small": round(out[n_small]["rows_per_sec"], 1),
+        "throughput_big": round(out[n_big]["rows_per_sec"], 1),
+        "scaling_efficiency": round(eff, 4),
+    }
+
+
+def main():
+    sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else -1.0
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = bench_queries(spark, SF_DIR)
+    spark.stop()
+
+    queries = {name: round(sec, 4) for name, (sec, _) in results.items()}
+    total = sum(queries.values())
+    build_sec, build_rows = results["q1_bloom_build"]
+    payload = {
+        "metric": "bloom build+probe+count suite wall time",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "build_rows_per_sec": round(build_rows / build_sec, 1),
+    }
+
+    if "--scaling" in sys.argv:
+        payload["scaling"] = run_scaling(8, 32)
+
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    if "--scaling-worker" in sys.argv:
+        scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+    else:
+        main()

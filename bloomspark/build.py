@@ -33,25 +33,53 @@ from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .counting import CountingBloomFilter, add_saturating, counter_dtype, counter_max
 from .filter import BloomFilter, popcount
-from .hashing import as_bytes_array, get_hash_fn, murmur3_32
+from .hashing import Keys, get_hash_fn, keys_from_pandas, km_positions_h1, murmur3_32
 from .params import FilterConfig
 
-#: Above this many input partitions the partials are tree-merged on
-#: executors before the driver sees them.
-DEFAULT_TREE_MERGE_THRESHOLD = 64
+
+def _hash_with_fingerprint(keys: Keys, config: FilterConfig):
+    """(positions, fingerprint_sum) — the fingerprint is the uint64 sum of
+    murmur3(0, key), which the default KM hash computes anyway as h1."""
+    if config.hash_method == "Murmur3KirschMitzenmacher":
+        pos, h1 = km_positions_h1(keys, config.m, config.k)
+        return pos, h1.astype(np.uint64).sum()
+    pos = get_hash_fn(config.hash_method)(keys, config.m, config.k)
+    return pos, murmur3_32(keys, 0).astype(np.uint64).sum()
+
+#: Partials are tree-merged on executors before the driver sees them
+#: whenever their total upper-bound size exceeds this (collecting
+#: gigabytes of partials through the driver socket is the scaling
+#: bottleneck; an executor-side merge stage reduces it to
+#: tree_merge_groups rows).
+TREE_MERGE_COLLECT_BYTES = 128 << 20
 #: Fan-in of the executor-side merge stage.
 DEFAULT_TREE_MERGE_GROUPS = 16
 
+
+def _should_tree_merge(n_parts: int, num_bytes: int, threshold) -> bool:
+    if threshold is not None:
+        return n_parts > threshold
+    return n_parts > 8 and n_parts * num_bytes > TREE_MERGE_COLLECT_BYTES
+
 PARTIAL_SCHEMA = (
     "part_id int, rows bigint, ones bigint, fingerprint bigint, "
-    "t_ms double, bitset binary"
+    "t_ms double, kind string, bitset binary"
 )
+
+#: Dense bool-array scatter is used up to this filter size; beyond it the
+#: packed-byte bincount trick keeps memory at O(m/8).
+BOOL_SCATTER_LIMIT = 1 << 31
+#: Partials switch to a dense bitset once the accumulated distinct
+#: positions would serialize larger than the bitset itself.  Positions are
+#: uint32 on the wire (m is capped at Java int for reference parity).
+_SPARSE_POS_BYTES = 4
 
 COUNTING_PARTIAL_SCHEMA = (
     "part_id int, rows bigint, nonzero bigint, overflows bigint, "
@@ -59,14 +87,13 @@ COUNTING_PARTIAL_SCHEMA = (
 )
 
 
-def _key_series_to_bytes(series: pd.Series) -> np.ndarray:
-    """Arrow batch column -> object ndarray of UTF-8 bytes.
+def _series_to_keys(series: pd.Series) -> Keys:
+    """pandas column -> contiguous Keys buffer (one C-level encode).
 
     Matches BloomFilter.toBytes (BloomFilter.java:152-154): the UTF-8
     bytes of the element's string form; binary columns pass through.
     """
-    vals = series.to_numpy(dtype=object, copy=False)
-    return as_bytes_array(vals)
+    return keys_from_pandas(series)
 
 
 def _fingerprint(keys: np.ndarray) -> int:
@@ -85,60 +112,192 @@ def key_column(col: str, cast: bool = True) -> Column:
     return c.cast("string") if cast else c
 
 
-def _partition_bits_builder(config: FilterConfig, colname: str):
-    """mapInPandas generator: one (part_id, metrics, bitset) row per
-    partition — the partial-aggregate step."""
+_PARTIAL_PA_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("rows", pa.int64()),
+        ("ones", pa.int64()),
+        ("fingerprint", pa.int64()),
+        ("t_ms", pa.float64()),
+        ("kind", pa.string()),
+        ("bitset", pa.binary()),
+    ]
+)
+
+
+def positions_to_dense_bits(uniq: np.ndarray, m: int, num_bytes: int) -> np.ndarray:
+    """Distinct bit positions -> packed little-endian uint8 bitset.
+
+    Small m: one bool scatter + packbits.  Huge m (> BOOL_SCATTER_LIMIT
+    bits): chunked scatter so peak memory stays bounded instead of
+    allocating an m-byte bool array."""
+    if m <= BOOL_SCATTER_LIMIT:
+        seen = np.zeros(m, dtype=bool)
+        seen[uniq] = True
+        bits = np.packbits(seen, bitorder="little")
+        if bits.size < num_bytes:
+            bits = np.pad(bits, (0, num_bytes - bits.size))
+        return bits
+    bits = np.zeros(num_bytes, dtype=np.uint8)
+    uniq = np.sort(uniq)
+    chunk_bits = BOOL_SCATTER_LIMIT >> 2
+    for start in range(0, m, chunk_bits):
+        lo = np.searchsorted(uniq, start)
+        hi = np.searchsorted(uniq, min(start + chunk_bits, m))
+        if lo == hi:
+            continue
+        width = min(chunk_bits, m - start)
+        local = np.zeros(width, dtype=bool)
+        local[uniq[lo:hi] - start] = True
+        packed = np.packbits(local, bitorder="little")
+        bits[start >> 3 : (start >> 3) + packed.size] |= packed
+    return bits
+
+
+class _PositionAccumulator:
+    """Per-partition distinct-positions accumulator.
+
+    Stays sparse (concatenated position chunks, compacted by np.unique
+    when they grow) and densifies only once the sparse form would be
+    larger than the bitset — so a partition's cost is
+    O(rows_seen * k), not O(m), when its fill is low.  This is what
+    keeps per-partition work sane at 10^9-bit filters where each
+    partition touches a tiny fraction of the bits."""
+
+    __slots__ = ("m", "num_bytes", "chunks", "count", "seen")
+
+    def __init__(self, m: int, num_bytes: int):
+        self.m = m
+        self.num_bytes = num_bytes
+        self.chunks = []
+        self.count = 0
+        self.seen = None  # dense bool array once triggered
+
+    def add(self, pos: np.ndarray) -> None:
+        flat = pos.ravel()
+        if self.seen is not None:
+            self.seen[flat] = True
+            return
+        self.chunks.append(flat)
+        self.count += flat.size
+        if self.count * _SPARSE_POS_BYTES > self.num_bytes:
+            if self.m <= BOOL_SCATTER_LIMIT:
+                self.seen = np.zeros(self.m, dtype=bool)
+                for c in self.chunks:
+                    self.seen[c] = True
+                self.chunks = []
+            elif self.count > (1 << 25):
+                merged = np.unique(np.concatenate(self.chunks))
+                self.chunks = [merged]
+                self.count = merged.size
+
+    def finish(self):
+        """-> (kind, ones, payload_bytes)."""
+        if self.seen is not None:
+            bits = np.packbits(self.seen, bitorder="little")
+            if bits.size < self.num_bytes:
+                bits = np.pad(bits, (0, self.num_bytes - bits.size))
+            return "dense", popcount(bits), bits.tobytes()
+        uniq = (
+            np.unique(np.concatenate(self.chunks))
+            if self.chunks
+            else np.zeros(0, dtype=np.uint32)
+        )
+        if uniq.size * _SPARSE_POS_BYTES >= self.num_bytes:
+            bits = positions_to_dense_bits(uniq, self.m, self.num_bytes)
+            return "dense", uniq.size, bits.tobytes()
+        return "sparse", uniq.size, uniq.astype(np.uint32).tobytes()
+
+
+def partial_to_bits(kind: str, payload: bytes, config: FilterConfig) -> np.ndarray:
+    if kind == "dense":
+        return np.frombuffer(payload, dtype=np.uint8)
+    return positions_to_dense_bits(
+        np.frombuffer(payload, dtype=np.uint32), config.m, config.num_bytes
+    )
+
+
+def _partition_bits_builder(config: FilterConfig):
+    """mapInArrow generator: one (part_id, metrics, kind, payload) row per
+    partition — the partial-aggregate step.  Keys never leave Arrow's
+    contiguous UTF-8 buffers (zero Python objects per row), and the
+    partial is sparse (distinct positions) or dense (packed bits),
+    whichever is smaller."""
     m, k = config.m, config.k
     method = config.hash_method
     num_bytes = config.num_bytes
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.time()
-        hash_fn = get_hash_fn(method)
-        seen = np.zeros(m, dtype=bool)
+        acc = _PositionAccumulator(m, num_bytes)
         rows = 0
         fingerprint = np.uint64(0)
-        for pdf in batches:
-            keys = _key_series_to_bytes(pdf[colname])
-            if len(keys) == 0:
-                continue
-            pos = hash_fn(keys, m, k)
-            seen[pos.ravel()] = True
-            rows += len(keys)
-            fingerprint += murmur3_32(keys, 0).astype(np.uint64).sum()
-        bits = np.packbits(seen, bitorder="little")
-        if bits.size < num_bytes:
-            bits = np.pad(bits, (0, num_bytes - bits.size))
+        with np.errstate(over="ignore"):
+            for batch in batches:
+                keys = Keys.from_arrow(batch.column(0))
+                if len(keys) == 0:
+                    continue
+                pos, fp = _hash_with_fingerprint(keys, config)
+                acc.add(pos)
+                rows += len(keys)
+                fingerprint += fp
+        kind, ones, payload = acc.finish()
         ctx = TaskContext.get()
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
                 "part_id": [ctx.partitionId() if ctx else -1],
                 "rows": [rows],
-                "ones": [popcount(bits)],
+                "ones": [int(ones)],
                 "fingerprint": [int(fingerprint % np.uint64(2**63))],
                 "t_ms": [(time.time() - t0) * 1000.0],
-                "bitset": [bits.tobytes()],
-            }
+                "kind": [kind],
+                "bitset": [payload],
+            },
+            schema=_PARTIAL_PA_SCHEMA,
         )
 
     return gen
 
 
-def _or_merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas reducer: OR a group of partial bitsets into one row.
+def _merge_partial_arrays(kinds, payloads, config: FilterConfig) -> np.ndarray:
+    """OR a set of sparse/dense partials into one dense bitset.
+
+    All sparse payloads merge through ONE concatenate+scatter (instead of
+    one O(m) conversion each); dense payloads OR directly."""
+    acc = np.zeros(config.num_bytes, dtype=np.uint8)
+    sparse = []
+    for kind, payload in zip(kinds, payloads):
+        if kind == "dense":
+            np.bitwise_or(acc, np.frombuffer(payload, dtype=np.uint8), out=acc)
+        else:
+            sparse.append(np.frombuffer(payload, dtype=np.uint32))
+    if sparse:
+        pos = np.unique(np.concatenate(sparse))
+        np.bitwise_or(
+            acc, positions_to_dense_bits(pos, config.m, config.num_bytes), out=acc
+        )
+    return acc
+
+
+def _or_merge_partials(config: FilterConfig):
+    """applyInPandas reducer: OR a group of partials into one dense row.
     Associative + commutative, so Spark may group/evaluate in any order."""
-    arrays = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitset"]]
-    acc = np.bitwise_or.reduce(np.vstack(arrays), axis=0)
-    return pd.DataFrame(
-        {
-            "part_id": [int(pdf["part_id"].min())],
-            "rows": [int(pdf["rows"].sum())],
-            "ones": [popcount(acc)],
-            "fingerprint": [int(pdf["fingerprint"].astype(np.uint64).sum() % np.uint64(2**63))],
-            "t_ms": [float(pdf["t_ms"].sum())],
-            "bitset": [acc.tobytes()],
-        }
-    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = _merge_partial_arrays(pdf["kind"], pdf["bitset"], config)
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].min())],
+                "rows": [int(pdf["rows"].sum())],
+                "ones": [popcount(acc)],
+                "fingerprint": [int(pdf["fingerprint"].astype(np.uint64).sum() % np.uint64(2**63))],
+                "t_ms": [float(pdf["t_ms"].sum())],
+                "kind": ["dense"],
+                "bitset": [acc.tobytes()],
+            }
+        )
+
+    return merge
 
 
 def build_partials(df: DataFrame, col: str, config: FilterConfig) -> DataFrame:
@@ -148,18 +307,27 @@ def build_partials(df: DataFrame, col: str, config: FilterConfig) -> DataFrame:
     ``(part_id, rows, ones, fingerprint, t_ms, bitset)``.
     """
     keyed = df.select(key_column(col).alias("__key"))
-    return keyed.mapInPandas(
-        _partition_bits_builder(config, "__key"), schema=PARTIAL_SCHEMA
-    )
+    return keyed.mapInArrow(_partition_bits_builder(config), schema=PARTIAL_SCHEMA)
 
 
 def merge_partial_rows(rows, config: FilterConfig) -> BloomFilter:
     """Driver-side final merge of collected partial rows."""
-    acc = np.zeros(config.num_bytes, dtype=np.uint8)
-    for row in rows:
-        arr = np.frombuffer(row["bitset"], dtype=np.uint8)
-        np.bitwise_or(acc, arr, out=acc)
+    acc = _merge_partial_arrays(
+        [r["kind"] for r in rows], [r["bitset"] for r in rows], config
+    )
     return BloomFilter(config, acc)
+
+
+def _collect_arrow(df: DataFrame):
+    """Collect a partials DataFrame through the Arrow path — row-based
+    collect() of multi-MB binary payloads through py4j is several times
+    slower than toPandas() with Arrow enabled."""
+    try:
+        df.sparkSession.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    pdf = df.toPandas()
+    return pdf.to_dict("records")
 
 
 def build_bloom(
@@ -168,28 +336,29 @@ def build_bloom(
     config: FilterConfig,
     *,
     num_partitions: Optional[int] = None,
-    tree_merge_threshold: int = DEFAULT_TREE_MERGE_THRESHOLD,
+    tree_merge_threshold: Optional[int] = None,
     tree_merge_groups: int = DEFAULT_TREE_MERGE_GROUPS,
 ) -> BloomFilter:
     """Build a Bloom filter over ``df[col]`` distributed.
 
     Lifecycle (SURVEY.md §3.1): scan -> select key (column pruning pushes
-    to the source) -> mapInPandas partials -> [tree merge if wide] ->
-    driver OR-merge.  No shuffle in the default path.
+    to the source) -> mapInArrow partials -> [executor tree merge when the
+    partials would swamp the driver] -> driver OR-merge.  No shuffle in
+    the default path; the tree merge shuffles only P partial rows.
     """
     if num_partitions is not None:
         df = df.repartition(num_partitions)
     partials = build_partials(df, col, config)
     n_parts = df.rdd.getNumPartitions()
-    if n_parts > tree_merge_threshold:
+    if _should_tree_merge(n_parts, config.num_bytes, tree_merge_threshold):
         partials = (
             partials.withColumn(
                 "part_id", F.pmod(F.col("part_id"), F.lit(tree_merge_groups))
             )
             .groupBy("part_id")
-            .applyInPandas(_or_merge_partials, schema=PARTIAL_SCHEMA)
+            .applyInPandas(_or_merge_partials(config), schema=PARTIAL_SCHEMA)
         )
-    rows = partials.collect()
+    rows = _collect_arrow(partials)
     bf = merge_partial_rows(rows, config)
     return bf
 
@@ -199,13 +368,26 @@ def build_bloom(
 # ---------------------------------------------------------------------------
 
 
-def _partition_counters_builder(config: FilterConfig, colname: str, weight: int):
+_COUNTING_PARTIAL_PA_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("rows", pa.int64()),
+        ("nonzero", pa.int64()),
+        ("overflows", pa.int64()),
+        ("fingerprint", pa.int64()),
+        ("t_ms", pa.float64()),
+        ("counters", pa.binary()),
+    ]
+)
+
+
+def _partition_counters_builder(config: FilterConfig, weight: int):
     m, k = config.m, config.k
     method = config.hash_method
     dt = counter_dtype(config.counting_bits)
     mx = counter_max(config.counting_bits)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.time()
         hash_fn = get_hash_fn(method)
         counters = np.zeros(m, dtype=dt)
@@ -216,19 +398,28 @@ def _partition_counters_builder(config: FilterConfig, colname: str, weight: int)
         def on_over(n):
             overflows[0] += n
 
-        for pdf in batches:
-            keys = _key_series_to_bytes(pdf[colname])
+        for batch in batches:
+            keys = Keys.from_arrow(batch.column(0))
             if len(keys) == 0:
                 continue
-            pos = hash_fn(keys, m, k)
-            counts = np.bincount(pos.ravel(), minlength=m)
+            pos, fp = _hash_with_fingerprint(keys, config)
+            # positions -> distinct (pos, count) pairs, then one dup-free
+            # fancy add: O(batch*k log) instead of O(m) per batch
+            upos, ucnt = np.unique(pos.ravel(), return_counts=True)
             if weight != 1:
-                counts = counts * weight
-            add_saturating(counters, counts, mx, on_over)
+                ucnt = ucnt * weight
+            wide = counters[upos].astype(np.uint64) + ucnt.astype(np.uint64)
+            over = wide > np.uint64(mx)
+            n_over = int(np.count_nonzero(over))
+            if n_over:
+                on_over(n_over)
+                np.minimum(wide, np.uint64(mx), out=wide)
+            counters[upos] = wide.astype(dt)
             rows += len(keys)
-            fingerprint += murmur3_32(keys, 0).astype(np.uint64).sum()
+            with np.errstate(over="ignore"):
+                fingerprint += fp
         ctx = TaskContext.get()
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
                 "part_id": [ctx.partitionId() if ctx else -1],
                 "rows": [rows],
@@ -237,7 +428,8 @@ def _partition_counters_builder(config: FilterConfig, colname: str, weight: int)
                 "fingerprint": [int(fingerprint % np.uint64(2**63))],
                 "t_ms": [(time.time() - t0) * 1000.0],
                 "counters": [counters.tobytes()],
-            }
+            },
+            schema=_COUNTING_PARTIAL_PA_SCHEMA,
         )
 
     return gen
@@ -247,9 +439,8 @@ def build_counting_partials(
     df: DataFrame, col: str, config: FilterConfig, weight: int = 1
 ) -> DataFrame:
     keyed = df.select(key_column(col).alias("__key"))
-    return keyed.mapInPandas(
-        _partition_counters_builder(config, "__key", weight),
-        schema=COUNTING_PARTIAL_SCHEMA,
+    return keyed.mapInArrow(
+        _partition_counters_builder(config, weight), schema=COUNTING_PARTIAL_SCHEMA
     )
 
 
@@ -259,7 +450,7 @@ def build_counting(
     config: FilterConfig,
     *,
     num_partitions: Optional[int] = None,
-    tree_merge_threshold: int = DEFAULT_TREE_MERGE_THRESHOLD,
+    tree_merge_threshold: Optional[int] = None,
     tree_merge_groups: int = DEFAULT_TREE_MERGE_GROUPS,
 ) -> CountingBloomFilter:
     """Distributed counting-filter build: per-partition uint counters,
@@ -270,7 +461,8 @@ def build_counting(
         df = df.repartition(num_partitions)
     partials = build_counting_partials(df, col, config)
     n_parts = df.rdd.getNumPartitions()
-    if n_parts > tree_merge_threshold:
+    counters_bytes = config.m * counter_dtype(config.counting_bits).itemsize
+    if _should_tree_merge(n_parts, counters_bytes, tree_merge_threshold):
         dt = counter_dtype(config.counting_bits)
         mx = counter_max(config.counting_bits)
 
@@ -298,7 +490,7 @@ def build_counting(
             .groupBy("part_id")
             .applyInPandas(merge_group, schema=COUNTING_PARTIAL_SCHEMA)
         )
-    rows = partials.collect()
+    rows = _collect_arrow(partials)
     cbf = CountingBloomFilter(config)
     total_over = 0
     for row in rows:

@@ -33,14 +33,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .build import _key_series_to_bytes, key_column
+from .build import _merge_partial_arrays, _series_to_keys, key_column
 from .filter import BloomFilter, popcount
 from .hashing import get_hash_fn, murmur3_32
 from .params import FilterConfig
 
 BUCKET_SCHEMA = (
     "bucket int, rows bigint, ones bigint, fingerprint bigint, "
-    "t_ms double, bitset binary"
+    "t_ms double, kind string, bitset binary"
 )
 
 
@@ -50,23 +50,23 @@ def _bucket_builder(config: FilterConfig):
     num_bytes = config.num_bytes
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .build import _PositionAccumulator
+
         t0 = time.time()
-        keys = _key_series_to_bytes(pdf["__key"])
-        pos = get_hash_fn(method)(keys, m, k)
-        seen = np.zeros(m, dtype=bool)
-        seen[pos.ravel()] = True
-        bits = np.packbits(seen, bitorder="little")
-        if bits.size < num_bytes:
-            bits = np.pad(bits, (0, num_bytes - bits.size))
+        keys = _series_to_keys(pdf["__key"])
+        acc = _PositionAccumulator(m, num_bytes)
+        acc.add(get_hash_fn(method)(keys, m, k))
+        kind, ones, payload = acc.finish()
         fp = int(murmur3_32(keys, 0).astype(np.uint64).sum() % np.uint64(2**63)) if len(keys) else 0
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["__bucket"].iloc[0])],
                 "rows": [len(keys)],
-                "ones": [popcount(bits)],
+                "ones": [int(ones)],
                 "fingerprint": [fp],
                 "t_ms": [(time.time() - t0) * 1000.0],
-                "bitset": [bits.tobytes()],
+                "kind": [kind],
+                "bitset": [payload],
             }
         )
 
@@ -145,10 +145,11 @@ def build_bloom_checkpointed(
 
     # Final merge + lineage snapshot
     all_rows = spark.read.parquet(partials_path).collect()
-    acc = np.zeros(config.num_bytes, dtype=np.uint8)
+    acc = _merge_partial_arrays(
+        [r["kind"] for r in all_rows], [r["bitset"] for r in all_rows], config
+    )
     lineage = {}
     for row in all_rows:
-        np.bitwise_or(acc, np.frombuffer(row["bitset"], dtype=np.uint8), out=acc)
         lineage[str(row["bucket"])] = {
             "rows": row["rows"],
             "ones": row["ones"],

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .build import _key_series_to_bytes, key_column
+from .build import _series_to_keys, key_column
 from .counting import add_saturating, counter_dtype, counter_max
 from .filter import BloomFilter, popcount
 from .hashing import get_hash_fn, murmur3_32
@@ -49,7 +49,7 @@ def build_bloom_per_group(
     num_bytes = config.num_bytes
 
     def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = _key_series_to_bytes(pdf["__key"])
+        keys = _series_to_keys(pdf["__key"])
         pos = get_hash_fn(method)(keys, m, k)
         seen = np.zeros(m, dtype=bool)
         seen[pos.ravel()] = True
@@ -103,7 +103,7 @@ def build_counting_per_group(
     mx = counter_max(config.counting_bits)
 
     def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = _key_series_to_bytes(pdf["__key"])
+        keys = _series_to_keys(pdf["__key"])
         pos = get_hash_fn(method)(keys, m, k)
         counters = np.zeros(m, dtype=dt)
         add_saturating(counters, np.bincount(pos.ravel(), minlength=m), mx)

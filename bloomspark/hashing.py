@@ -53,11 +53,102 @@ _U64 = np.uint64
 # ---------------------------------------------------------------------------
 
 
+class Keys:
+    """A batch of keys as one contiguous UTF-8 buffer + offsets.
+
+    The zero-copy hot-path representation: built straight from an Arrow
+    string/binary array's buffers, so no Python string/bytes objects are
+    ever materialized for the vectorized hash paths (the library-wide
+    'no per-row Python' rule from BASELINE.json input_hint).
+    """
+
+    __slots__ = ("data", "offsets")
+
+    def __init__(self, data: np.ndarray, offsets: np.ndarray):
+        self.data = data  # uint8, concatenated key bytes
+        self.offsets = offsets  # int64, len == n+1
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    @classmethod
+    def from_arrow(cls, arr) -> "Keys":
+        """Zero-copy view over a pyarrow string/large_string/binary array."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if arr.null_count:
+            arr = pc.fill_null(arr, "" if pa.types.is_string(arr.type)
+                               or pa.types.is_large_string(arr.type) else b"")
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+            off_dtype = np.int64
+        elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+            off_dtype = np.int32
+        else:  # dictionary/other: re-encode through large_string
+            arr = pc.cast(arr, pa.large_string())
+            off_dtype = np.int64
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+        return cls(data, offsets)
+
+    @classmethod
+    def from_objects(cls, keys: Sequence) -> "Keys":
+        """From Python str/bytes objects (driver-side / test paths)."""
+        encoded = [
+            v if isinstance(v, bytes)
+            else (v if isinstance(v, str) else str(v)).encode("utf-8")
+            for v in keys
+        ]
+        offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in encoded], out=offsets[1:])
+        data = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        return cls(data, offsets)
+
+    def get(self, i: int) -> bytes:
+        """Materialize one key's bytes (slow per-row hash paths only)."""
+        return self.data[self.offsets[i] : self.offsets[i + 1]].tobytes()
+
+    def take(self, idx: np.ndarray) -> "Keys":
+        lens = self.lengths[idx]
+        out_off = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        out_data = np.empty(int(out_off[-1]), dtype=np.uint8)
+        starts = self.offsets[idx]
+        for j in range(len(idx)):  # pragma: no cover - fallback path
+            out_data[out_off[j] : out_off[j + 1]] = self.data[
+                starts[j] : starts[j] + lens[j]
+            ]
+        return Keys(out_data, out_off)
+
+
+def as_keys(keys) -> Keys:
+    if isinstance(keys, Keys):
+        return keys
+    return Keys.from_objects(keys)
+
+
+def keys_from_pandas(series) -> Keys:
+    """pandas Series -> Keys via one C-level Arrow encode (no per-row
+    Python).  Used by pandas-UDF surfaces; mapInArrow paths use
+    :meth:`Keys.from_arrow` directly on the batch column."""
+    import pyarrow as pa
+
+    return Keys.from_arrow(pa.Array.from_pandas(series))
+
+
 def as_bytes_array(keys: Sequence) -> np.ndarray:
     """Normalize a sequence of str/bytes keys to an object ndarray of bytes.
 
     Mirrors BloomFilter.toBytes (BloomFilter.java:152-154): UTF-8 of the
-    element's string form.
+    element's string form.  Used by driver-side single/bulk element APIs;
+    the distributed paths use :class:`Keys` instead.
     """
     out = np.empty(len(keys), dtype=object)
     for i, v in enumerate(keys):
@@ -70,20 +161,39 @@ def as_bytes_array(keys: Sequence) -> np.ndarray:
     return out
 
 
-def _group_by_length(keys: np.ndarray):
+def _group_by_length(keys: Keys):
     """Yield (indices, (G, L) uint8 matrix) per distinct key byte-length.
 
     Vectorization strategy: murmur/FNV block loops depend only on the
     byte length, so rows of equal length are processed as one matrix.
+    Gathers are pure fancy-indexing over the contiguous buffer — no
+    Python objects in the loop.
     """
-    lengths = np.fromiter((len(b) for b in keys), count=len(keys), dtype=np.int64)
-    for length in np.unique(lengths):
+    lengths = keys.lengths
+    starts = keys.offsets[:-1]
+    data = keys.data
+    if len(lengths) == 0:
+        return
+    uniq = np.unique(lengths)
+    if len(uniq) == 1:
+        # fast path: single length (e.g. sha hex keys) — one reshape if
+        # contiguous, one gather otherwise
+        length = int(uniq[0])
+        idx = np.arange(len(lengths))
+        if length == 0:
+            yield idx, np.zeros((len(idx), 0), dtype=np.uint8)
+            return
+        if keys.offsets[0] == 0 and keys.offsets[-1] == data.size:
+            yield idx, data.reshape(len(idx), length)
+        else:
+            yield idx, data[starts[:, None] + np.arange(length)[None, :]]
+        return
+    for length in uniq:
         idx = np.nonzero(lengths == length)[0]
         if length == 0:
             yield idx, np.zeros((len(idx), 0), dtype=np.uint8)
             continue
-        joined = b"".join(keys[i] for i in idx)
-        mat = np.frombuffer(joined, dtype=np.uint8).reshape(len(idx), length)
+        mat = data[starts[idx][:, None] + np.arange(int(length))[None, :]]
         yield idx, mat
 
 
@@ -99,27 +209,26 @@ def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
     return (x << _U32(r)) | (x >> _U32(32 - r))
 
 
-def _murmur3_fixed(mat: np.ndarray, seeds: np.ndarray) -> np.ndarray:
-    """murmur3_32 over an (N, L) uint8 matrix with per-row uint32 seeds."""
+def _premix_blocks(mat: np.ndarray):
+    """Seed-independent half of murmur3: per-4-byte-block mixed values
+    K[:, j] = rotl(block_le_u32 * c1, 15) * c2, plus the mixed tail.
+
+    Blocks are read as little-endian uint32 views (one memcpy, no
+    shift-assembly), and the result is reusable across seed passes —
+    Kirsch-Mitzenmacher needs two murmur evaluations of the same key, so
+    this halves its per-key work.
+    """
     n, length = mat.shape
-    h1 = seeds.astype(_U32, copy=True)
     nblocks = length // 4
     with np.errstate(over="ignore"):
         if nblocks:
-            blocks = mat[:, : nblocks * 4].reshape(n, nblocks, 4).astype(_U32)
-            kcol = (
-                blocks[:, :, 0]
-                | (blocks[:, :, 1] << _U32(8))
-                | (blocks[:, :, 2] << _U32(16))
-                | (blocks[:, :, 3] << _U32(24))
-            )
-            for j in range(nblocks):
-                k1 = kcol[:, j] * _C1
-                k1 = _rotl32(k1, 15)
-                k1 = k1 * _C2
-                h1 ^= k1
-                h1 = _rotl32(h1, 13)
-                h1 = h1 * _U32(5) + _U32(0xE6546B64)
+            body = np.ascontiguousarray(mat[:, : nblocks * 4])
+            kcol = body.view("<u4").reshape(n, nblocks)
+            K = kcol * _C1
+            K = _rotl32(K, 15)
+            K *= _C2
+        else:
+            K = None
         tail = length & 3
         if tail:
             base = nblocks * 4
@@ -132,9 +241,25 @@ def _murmur3_fixed(mat: np.ndarray, seeds: np.ndarray) -> np.ndarray:
             k1 *= _C1
             k1 = _rotl32(k1, 15)
             k1 *= _C2
-            h1 ^= k1
-        # makeHash(): h1 ^= total length processed (java:219 — i += len makes
-        # i the full input length)
+        else:
+            k1 = None
+    return K, k1, length
+
+
+def _murmur3_from_premix(premix, seeds: np.ndarray) -> np.ndarray:
+    """Seed-dependent half of murmur3 over premixed blocks."""
+    K, tail_k1, length = premix
+    h1 = seeds.astype(_U32, copy=True)
+    with np.errstate(over="ignore"):
+        if K is not None:
+            for j in range(K.shape[1]):
+                h1 ^= K[:, j]
+                h1 = _rotl32(h1, 13)
+                h1 = h1 * _U32(5) + _U32(0xE6546B64)
+        if tail_k1 is not None:
+            h1 ^= tail_k1
+        # makeHash(): h1 ^= total length processed (java:219 — i += len
+        # makes i the full input length)
         h1 ^= _U32(length)
         h1 ^= h1 >> _U32(16)
         h1 *= _U32(0x85EBCA6B)
@@ -144,12 +269,19 @@ def _murmur3_fixed(mat: np.ndarray, seeds: np.ndarray) -> np.ndarray:
     return h1
 
 
-def murmur3_32(keys: np.ndarray, seeds) -> np.ndarray:
+def _murmur3_fixed(mat: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """murmur3_32 over an (N, L) uint8 matrix with per-row uint32 seeds."""
+    return _murmur3_from_premix(_premix_blocks(mat), seeds)
+
+
+def murmur3_32(keys, seeds) -> np.ndarray:
     """Vectorized Guava-compatible murmur3_32 -> uint32 array.
 
+    ``keys`` is a :class:`Keys` buffer (or any sequence, converted);
     ``seeds`` is a scalar or per-row array; the uint32 bit pattern equals
     Java's signed int result (HashProvider.murmur3_signed).
     """
+    keys = as_keys(keys)
     n = len(keys)
     if np.isscalar(seeds):
         seeds = np.full(n, seeds, dtype=_U32)
@@ -163,8 +295,7 @@ def murmur3_32(keys: np.ndarray, seeds) -> np.ndarray:
 
 def murmur3_signed_scalar(seed: int, data: bytes) -> int:
     """Scalar reference implementation (signed int), for tests/goldens."""
-    arr = np.frombuffer(data, dtype=np.uint8).reshape(1, len(data))
-    u = int(_murmur3_fixed(arr, np.array([seed & 0xFFFFFFFF], dtype=_U32))[0])
+    u = int(murmur3_32(Keys.from_objects([data]), seed & 0xFFFFFFFF)[0])
     return u - (1 << 32) if u >= (1 << 31) else u
 
 
@@ -199,17 +330,50 @@ def rejection_sample_scalar(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def positions_murmur3_km(keys: np.ndarray, m: int, k: int) -> np.ndarray:
-    h1 = murmur3_32(keys, 0)
-    h2 = murmur3_32(keys, h1)  # seed = (int) hash1: same 32-bit pattern
-    h1_64 = h1.astype(_U64)[:, None]
-    h2_64 = h2.astype(_U64)[:, None]
-    i = np.arange(k, dtype=_U64)[None, :]
+#: Row-chunk size for the KM hot path: keeps the premixed block matrix
+#: (~chunk x L/4 uint32) and all pass temporaries L2-resident, which is
+#: what lets 32 concurrent workers scale instead of fighting for DRAM
+#: bandwidth.
+_KM_CHUNK = 8192
+
+
+def km_positions_h1(keys, m: int, k: int):
+    """Kirsch-Mitzenmacher positions plus the raw h1 = murmur3(0, key)
+    values (reused by builders as the lineage fingerprint, saving a third
+    murmur evaluation per key).  Returns (pos (N,k) int64, h1 uint32)."""
+    keys = as_keys(keys)
+    n = len(keys)
+    # positions fit uint32: the reference caps m at Java int (2^31,
+    # FilterBuilder.java:31), and halving position width halves the
+    # memory traffic of every downstream sort/scatter/serialize
+    pos = np.empty((n, k), dtype=np.uint32)
+    h1_out = np.empty(n, dtype=_U32)
+    i_arr = np.arange(k, dtype=_U64)[None, :]
+    mm = _U64(m)
     with np.errstate(over="ignore"):
-        # Java evaluates (hash1 + i*hash2) in signed 64-bit without overflow
-        # (both < 2^32, i < k); uint64 arithmetic is identical here.
-        pos = (h1_64 + i * h2_64) % _U64(m)
-    return pos.astype(np.int64)
+        for idx, mat in _group_by_length(keys):
+            contiguous = idx.size == n  # single-length fast path
+            for s in range(0, idx.size, _KM_CHUNK):
+                msub = mat[s : s + _KM_CHUNK]
+                premix = _premix_blocks(msub)
+                g1 = _murmur3_from_premix(premix, np.zeros(len(msub), dtype=_U32))
+                # seed of the 2nd evaluation = (int) hash1: same 32 bits
+                g2 = _murmur3_from_premix(premix, g1)
+                # Java evaluates (hash1 + i*hash2) in signed 64-bit without
+                # overflow (both < 2^32, i < k); uint64 is identical here.
+                p = (g1.astype(_U64)[:, None] + i_arr * g2.astype(_U64)[:, None]) % mm
+                if contiguous:
+                    pos[s : s + _KM_CHUNK] = p.astype(np.uint32)
+                    h1_out[s : s + _KM_CHUNK] = g1
+                else:
+                    sub = idx[s : s + _KM_CHUNK]
+                    pos[sub] = p.astype(np.uint32)
+                    h1_out[sub] = g1
+    return pos, h1_out
+
+
+def positions_murmur3_km(keys, m: int, k: int) -> np.ndarray:
+    return km_positions_h1(keys, m, k)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -217,21 +381,26 @@ def positions_murmur3_km(keys: np.ndarray, m: int, k: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def positions_murmur3(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+def positions_murmur3(keys, m: int, k: int) -> np.ndarray:
+    keys = as_keys(keys)
     n = len(keys)
     out = np.zeros((n, k), dtype=np.int64)
     counts = np.zeros(n, dtype=np.int64)
     seeds = np.zeros(n, dtype=_U32)
-    active = np.arange(n)
-    while active.size:
-        seeds[active] = murmur3_32(keys[active], seeds[active])
-        signed = seeds[active].astype(np.int32).astype(np.int64)
+    # All rows advance their hash chain together; completed rows keep
+    # hashing (cheap) so every step stays one vectorized batch call.
+    # Rejections are rare (~m/2^31), so this takes ~k iterations.
+    while True:
+        incomplete = counts < k
+        if not incomplete.any():
+            break
+        seeds = murmur3_32(keys, seeds)
+        signed = seeds.astype(np.int32).astype(np.int64)
         a = np.abs(signed)
-        ok = _rejection_ok(a, m)
-        acc_rows = active[ok]
-        out[acc_rows, counts[acc_rows]] = a[ok] % m
-        counts[acc_rows] += 1
-        active = active[counts[active] < k]
+        ok = _rejection_ok(a, m) & incomplete
+        rows = np.nonzero(ok)[0]
+        out[rows, counts[rows]] = a[rows] % m
+        counts[rows] += 1
     return out
 
 
@@ -246,13 +415,14 @@ _LCG_ADD = _U64(0xB)
 _LCG_MASK = _U64((1 << 48) - 1)
 
 
-def fnv_hash_bytes(keys: np.ndarray) -> np.ndarray:
+def fnv_hash_bytes(keys) -> np.ndarray:
     """Vectorized replica of HashProvider.hashBytes -> int32 array.
 
     Faithful to the Java quirk at HashProvider.java:37-38: the byte is
     XORed into the 64-bit accumulator *sign-extended*, so a negative byte
     sets the upper 32 bits, which then feed the next 64-bit multiply.
     """
+    keys = as_keys(keys)
     n = len(keys)
     out = np.empty(n, dtype=np.int32)
     with np.errstate(over="ignore"):
@@ -266,7 +436,8 @@ def fnv_hash_bytes(keys: np.ndarray) -> np.ndarray:
     return out
 
 
-def positions_fnv_lcg(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+def positions_fnv_lcg(keys, m: int, k: int) -> np.ndarray:
+    keys = as_keys(keys)
     h = fnv_hash_bytes(keys).astype(np.int64)
     reduced = np.abs(h)
     reduced[h == _INT32_MIN] = 42  # java:142-143
@@ -341,18 +512,20 @@ def _digest_fn(method: str) -> Callable[[bytes], bytes]:
     return f
 
 
-def positions_crypt(keys: np.ndarray, m: int, k: int, method: str) -> np.ndarray:
+def positions_crypt(keys, m: int, k: int, method: str) -> np.ndarray:
     """Replica of HashProvider.hashCrypt (java:341-388).
 
     digest_0 = H(value); digest_r = H(digest_{r-1} || value).  Each digest
     is consumed little-endian (BitSet.valueOf) in slices of
     ``m.bit_length()`` bits, each accepted iff < m.
     """
+    keys = as_keys(keys)
     digest = _digest_fn(method)
     fs = m.bit_length()  # 32 - Integer.numberOfLeadingZeros(m), java:367
     out = np.empty((len(keys), k), dtype=np.int64)
     mask = (1 << fs) - 1
-    for row, key in enumerate(keys):
+    for row in range(len(keys)):
+        key = keys.get(row)
         positions: List[int] = []
         d = b""
         while len(positions) < k:
@@ -374,12 +547,14 @@ def positions_crypt(keys: np.ndarray, m: int, k: int, method: str) -> np.ndarray
 # ---------------------------------------------------------------------------
 
 
-def _positions_checksum(keys: np.ndarray, m: int, k: int, kind: str) -> np.ndarray:
+def _positions_checksum(keys, m: int, k: int, kind: str) -> np.ndarray:
+    keys = as_keys(keys)
     base_fn = zlib.crc32 if kind == "CRC32" else zlib.adler32
     # Adler32's initial value is 1 (zlib default); CRC32's is 0.
     init = 0 if kind == "CRC32" else 1
     out = np.empty((len(keys), k), dtype=np.int64)
-    for row, key in enumerate(keys):
+    for row in range(len(keys)):
+        key = keys.get(row)
         positions: List[int] = []
         salt = 0
         base = base_fn(key, init)
@@ -397,11 +572,11 @@ def _positions_checksum(keys: np.ndarray, m: int, k: int, kind: str) -> np.ndarr
     return out
 
 
-def positions_crc32(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+def positions_crc32(keys, m: int, k: int) -> np.ndarray:
     return _positions_checksum(keys, m, k, "CRC32")
 
 
-def positions_adler32(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+def positions_adler32(keys, m: int, k: int) -> np.ndarray:
     return _positions_checksum(keys, m, k, "Adler32")
 
 
@@ -449,8 +624,9 @@ def _int32(x: int) -> int:
     return x - (1 << 32) if x >= (1 << 31) else x
 
 
-def positions_rng(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+def positions_rng(keys, m: int, k: int) -> np.ndarray:
     """hashRNG (java:75-82): Random(FNV(value)), k draws of nextInt(m)."""
+    keys = as_keys(keys)
     seeds = fnv_hash_bytes(keys)
     out = np.empty((len(keys), k), dtype=np.int64)
     for row in range(len(keys)):
@@ -462,17 +638,19 @@ def positions_rng(keys: np.ndarray, m: int, k: int) -> np.ndarray:
 _CW_PRIME64 = 53200200938189
 
 
-def positions_carter_wegman(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+def positions_carter_wegman(keys, m: int, k: int) -> np.ndarray:
     """hashCarterWegman (java:51-67): (a*v + b) mod prime64 mod m.
 
     v = signed big-endian BigInteger of the value bytes (empty -> 0);
     a, b drawn from Random(seed32).nextLong() — the (a, b) sequence is
     identical for every key, so it is precomputed once.
     """
+    keys = as_keys(keys)
     r = JavaRandom(SEED32)
     ab = [(r.next_long(), r.next_long()) for _ in range(k)]
     out = np.empty((len(keys), k), dtype=np.int64)
-    for row, key in enumerate(keys):
+    for row in range(len(keys)):
+        key = keys.get(row)
         v = int.from_bytes(key if key else b"\x00", "big", signed=True)
         for i, (a, b) in enumerate(ab):
             out[row, i] = ((a * v + b) % _CW_PRIME64) % m
@@ -514,10 +692,11 @@ def _murmur2(data: bytes, seed: int) -> int:
     return h
 
 
-def positions_murmur2(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+def positions_murmur2(keys, m: int, k: int) -> np.ndarray:
+    keys = as_keys(keys)
     out = np.empty((len(keys), k), dtype=np.int64)
-    for row, key in enumerate(keys):
-        data = bytearray(key)
+    for row in range(len(keys)):
+        data = bytearray(keys.get(row))
         positions: List[int] = []
         while len(positions) < k:
             # input perturbation (java:245-253); Java byte 127 wraps to 0
@@ -573,7 +752,9 @@ def get_hash_fn(method: str) -> HashFn:
         raise ValueError(f"Unknown hash method {method!r}") from None
 
 
-def hash_positions(keys: Sequence, m: int, k: int, method: str) -> np.ndarray:
-    """Compute the (N, k) position matrix for a batch of keys."""
-    arr = keys if isinstance(keys, np.ndarray) and keys.dtype == object else as_bytes_array(keys)
-    return get_hash_fn(method)(arr, m, k)
+def hash_positions(keys, m: int, k: int, method) -> np.ndarray:
+    """Compute the (N, k) position matrix for a batch of keys.
+
+    ``keys`` may be a :class:`Keys` buffer (hot path) or any sequence of
+    str/bytes (driver-side convenience)."""
+    return get_hash_fn(method)(as_keys(keys), m, k)

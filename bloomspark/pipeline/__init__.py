@@ -1,0 +1,42 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's sketch family: the operations a 100 TB
+training-data pipeline needs, built Spark-first over the same
+vectorized-UDF substrate — deduplication (exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding cosine), approximate similarity search, text
+analysis (language ID, quality scoring, token counting,
+fingerprinting), and multimodal binary-column plumbing.
+"""
+
+from .dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash_column,
+    simhash_near_dups,
+    embedding_cosine_pairs,
+)
+from .simsearch import brute_force_topk, lsh_bucketed_topk
+from .text import (
+    with_language_id,
+    with_quality,
+    with_token_counts,
+    with_fingerprint,
+)
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_column",
+    "simhash_near_dups",
+    "embedding_cosine_pairs",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "with_language_id",
+    "with_quality",
+    "with_token_counts",
+    "with_fingerprint",
+]

@@ -1,0 +1,420 @@
+"""Deduplication operators for document corpora.
+
+Five families, each chosen for a different scale/recall trade-off:
+
+- **exact**: hash-groupBy on a content digest — one shuffle, exact.
+- **n-gram Jaccard**: exact similarity on word shingles via
+  explode + self-join — quadratic within shared shingles, used as the
+  verification oracle for the approximate families.
+- **MinHash + LSH**: shingle -> vectorized minhash signatures ->
+  band-bucket join.  The candidate generation is a single
+  explode+groupBy (no cross join), which is the only shape that
+  survives 10^9 documents.
+- **SimHash**: 64-bit weighted token fingerprint; near-dup candidates
+  via the pigeonhole band trick (hamming <= d implies one of d+1 bands
+  equal).
+- **embedding cosine**: normalized-vector dot product; brute pairs for
+  small dims, LSH-bucketed for scale (see simsearch.py).
+
+All Python stays in Arrow-batched pandas UDFs operating on whole numpy
+matrices; candidate generation and joins are native DataFrame ops that
+Catalyst plans (broadcast/shuffle) like any other join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..hashing import Keys, keys_from_pandas, murmur3_32
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest.
+
+    One hash-aggregate: (digest) -> keep lowest id, count copies.  The
+    digest groupBy is the canonical map-side-combinable shuffle; at
+    100 TB the combine step collapses each partition's duplicates before
+    the exchange.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# word shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingle_column(text_col: str, n: int = 3):
+    """array<string> of word n-grams, all built-in (codegen'd) functions."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs on distinct word n-grams.
+
+    explode -> self-join on shingle -> |A∩B| by count, |A∪B| by
+    inclusion-exclusion.  The join key is the shingle itself, so common
+    shingles are the skew risk at scale — mitigate upstream by dropping
+    top-frequency shingles (stop-shingles), the standard trick.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_column(text_col, n)).alias("shingles"),
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    common = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), on="shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche mixing.  An affine
+    (a*h+b) mod p family is NOT min-wise independent here: for small h
+    the map never wraps and preserves order, so one low-hash shingle
+    dominates every minimum.  A per-function avalanche mix is."""
+    v = v ^ (v >> np.uint64(30))
+    v = v * _SM1
+    v = v ^ (v >> np.uint64(27))
+    v = v * _SM2
+    v = v ^ (v >> np.uint64(31))
+    return v
+
+
+def _minhash_params(num_hashes: int, seed: int = 7):
+    """Deterministic 64-bit seeds, one per hash function."""
+    rng = np.random.RandomState(seed)
+    lo = rng.randint(0, 1 << 32, size=num_hashes).astype(np.uint64)
+    hi = rng.randint(0, 1 << 32, size=num_hashes).astype(np.uint64)
+    return (hi << np.uint64(32)) | lo
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 128,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) via vectorized minhash.
+
+    Shingling happens in codegen'd built-ins; the UDF receives the
+    shingle arrays and computes, per Arrow batch, murmur3 of every
+    shingle once and all num_hashes permutations by one (H, S) numpy
+    broadcast — no per-row Python.
+    """
+    seeds = _minhash_params(num_hashes, seed)
+
+    @pandas_udf("array<long>")
+    def sig(shingles: pd.Series) -> pd.Series:
+        counts = shingles.map(len).to_numpy(dtype=np.int64)
+        flat = pd.Series(
+            [s for arr in shingles for s in arr], dtype=object
+        )
+        if len(flat) == 0:
+            return pd.Series([[]] * len(shingles))
+        h = murmur3_32(keys_from_pandas(flat), 0).astype(np.uint64)  # (S,)
+        with np.errstate(over="ignore"):
+            perms = _mix64(h[:, None] ^ seeds[None, :])  # (S, H)
+        out = []
+        off = 0
+        for c in counts:
+            if c == 0:
+                out.append([])
+            else:
+                out.append(
+                    perms[off : off + c].min(axis=0).view(np.int64).tolist()
+                )
+            off += c
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        sig(F.array_distinct(shingle_column(text_col, n))).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 7,
+    verify_threshold: float = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    signature -> ``bands`` bands of r = num_hashes/bands rows; a pair
+    collides if any band is identical.  Candidates come from ONE
+    explode(band hashes) + groupBy join — never a cross join.  If
+    ``verify_threshold`` is set, candidates are verified with exact
+    n-gram Jaccard and filtered.
+    Returns (id_a, id_b [, jaccard]).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes, seed=seed
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(F.concat_ws(",", F.slice("signature", bi * r + 1, r))).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cands
+    exact = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=verify_threshold
+    )
+    return cands.join(exact, on=["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_column(text_col: str = "text"):
+    """64-bit SimHash as a LongType column (vectorized pandas UDF).
+
+    Token hash = two murmur3_32 passes (seed 0 / seed 1) forming 64 bits;
+    bit b of the fingerprint = sign of sum over tokens of (+1/-1).
+    """
+
+    @pandas_udf("long")
+    def sim(tokens_col: pd.Series) -> pd.Series:
+        counts = tokens_col.map(len).to_numpy(dtype=np.int64)
+        flat = pd.Series([t for arr in tokens_col for t in arr], dtype=object)
+        n_docs = len(tokens_col)
+        if len(flat) == 0:
+            return pd.Series(np.zeros(n_docs, dtype=np.int64))
+        keys = keys_from_pandas(flat)
+        lo = murmur3_32(keys, 0).astype(np.uint64)
+        hi = murmur3_32(keys, 1).astype(np.uint64)
+        h64 = (hi << np.uint64(32)) | lo  # (T,)
+        # bit matrix -> +1/-1 contributions, summed per doc
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        contrib = bits * 2 - 1  # (T, 64)
+        doc_idx = np.repeat(np.arange(n_docs), counts)
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        np.add.at(acc, doc_idx, contrib)
+        fp = (acc > 0).astype(np.uint64)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        for b in range(64):
+            out |= fp[:, b] << np.uint64(b)
+        return pd.Series(out.astype(np.int64))
+
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return sim(tokens)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming+1`` bands; any pair within distance d agrees on at
+    least one band, so candidates come from a band-equality join (no
+    cross join), then exact popcount verification.
+    Returns (id_a, id_b, hamming).
+    """
+    nbands = max_hamming + 1
+    # bands must cover ALL 64 bits for the pigeonhole guarantee; the
+    # boundaries distribute any remainder across bands
+    bounds = [bi * 64 // nbands for bi in range(nbands + 1)]
+    fp = df.select(F.col(id_col).alias("id"), simhash_column(text_col).alias("fp"))
+    banded = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), bounds[bi])
+                        .bitwiseAND(F.lit((1 << (bounds[bi + 1] - bounds[bi])) - 1))
+                        .alias("chunk"),
+                    )
+                    for bi in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "fp", "bb.band", "bb.chunk")
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "chunk"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.fp").alias("fp_a"),
+            F.col("y.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _cosine_expr(a, b):
+    """Cosine similarity of two array<float> columns with built-ins only
+    (zip_with product + aggregate sum) — stays in the JVM."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_planes: int = 0,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine similarity.
+
+    ``bucket_planes=0``: exact all-pairs (self-join) — fine for small
+    dims, quadratic otherwise.  ``bucket_planes=B``: random-hyperplane
+    LSH — vectors joining only within an identical B-bit sign bucket,
+    the scale path (recall < 1, tunable by B and by multiple tables).
+    Returns (id_a, id_b, cosine).
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if bucket_planes:
+        base = base.withColumn(
+            "bucket", _hyperplane_bucket_expr("v", bucket_planes, seed, emb)
+        )
+        join_on = ["bucket"]
+    else:
+        base = base.withColumn("bucket", F.lit(0))
+        join_on = ["bucket"]
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), on=join_on)
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
+def _hyperplane_bucket_expr(vec_col: str, planes: int, seed: int, df: DataFrame):
+    """B-bit sign bucket against deterministic random hyperplanes,
+    evaluated with a vectorized pandas UDF (one matmul per batch)."""
+    dim = len(df.select(vec_col).first()[0]) if not isinstance(vec_col, str) else None
+    # infer dimension lazily inside the UDF instead of a driver action
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        if mat.ndim != 2 or mat.size == 0:
+            return pd.Series(np.zeros(len(vecs), dtype=np.int64))
+        rng = np.random.RandomState(seed)
+        h = rng.standard_normal((mat.shape[1], planes))
+        signs = (mat @ h) > 0  # (N, B)
+        out = np.zeros(len(vecs), dtype=np.int64)
+        for b in range(planes):
+            out |= signs[:, b].astype(np.int64) << b
+        return pd.Series(out)
+
+    return bucket(F.col(vec_col))

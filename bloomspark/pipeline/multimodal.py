@@ -1,0 +1,137 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.  The Spark-side plumbing — schemas,
+partitioning, UDF signatures, batch shapes — is real and tested; the
+actual codec calls are stubbed (this container ships no image/audio
+libraries): ``decode_mode="fake"`` produces a deterministic fake
+decode (byte statistics standing in for pixels), ``decode_mode="real"``
+raises NotImplementedError where a PIL/ffmpeg call would go.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Metadata struct carried beside every media blob.
+MEDIA_META_SCHEMA = (
+    "media_id bigint, kind string, mime string, width int, height int, "
+    "duration_ms int, payload binary"
+)
+
+#: Output of the feature-extraction stage.
+FEATURES_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, sha string, "
+    "feature array<float>"
+)
+
+
+def make_media_table(spark, rows: int = 64, *, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table: payload bytes derived from the
+    row index (sha chain), metadata typed per kind."""
+    df = spark.range(0, rows, 1, partitions)
+    i = F.col("id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (i % 3 + 1).cast("int")
+    )
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (i % 3 + 1).cast("int"),
+    )
+    payload = F.repeat(F.sha2(F.concat(F.lit("media"), i.cast("string")), 256), 8).cast(
+        "binary"
+    )
+    return df.select(
+        i.alias("media_id"),
+        kind.alias("kind"),
+        mime.alias("mime"),
+        F.when(kind == "image", (i % 512 + 16).cast("int")).alias("width"),
+        F.when(kind == "image", (i % 384 + 16).cast("int")).alias("height"),
+        F.when(kind != "image", (i % 30000 + 1000).cast("int")).alias("duration_ms"),
+        payload.alias("payload"),
+    )
+
+
+def _fake_decode(payload: np.ndarray) -> np.ndarray:
+    """Deterministic stand-in for a codec: 8 byte-statistics 'features'
+    per blob (mean/std/min/max/quartiles of the raw bytes)."""
+    if payload.size == 0:
+        return np.zeros(8, dtype=np.float32)
+    q = np.percentile(payload, [25, 50, 75])
+    return np.array(
+        [
+            payload.mean(),
+            payload.std(),
+            payload.min(),
+            payload.max(),
+            q[0],
+            q[1],
+            q[2],
+            float(payload.size % 251),
+        ],
+        dtype=np.float32,
+    )
+
+
+def extract_features(
+    df: DataFrame, *, decode_mode: str = "fake", batch_hint: int = 64
+) -> DataFrame:
+    """Decode + featurize every media blob via mapInPandas.
+
+    decode_mode='fake': deterministic byte-statistics features (the
+    plumbing test path).  decode_mode='real': the seam where PIL /
+    torchaudio / ffmpeg would decode — raises NotImplementedError, on
+    purpose, in this container.
+    """
+    import hashlib
+
+    if decode_mode not in ("fake", "real"):
+        raise ValueError("decode_mode must be 'fake' or 'real'")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real decode requires image/audio codecs not present in "
+                    "this container; plug PIL/ffmpeg here"
+                )
+            feats = []
+            shas = []
+            nbytes = []
+            for blob in pdf["payload"]:
+                arr = np.frombuffer(blob or b"", dtype=np.uint8)
+                feats.append(_fake_decode(arr).tolist())
+                shas.append(hashlib.sha256(blob or b"").hexdigest())
+                nbytes.append(len(blob or b""))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": nbytes,
+                    "sha": shas,
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, *, every_ms: int = 1000
+) -> DataFrame:
+    """Expand each video row into a frame-sampling plan (one row per
+    timestamp to decode) — pure built-ins, demonstrating how per-frame
+    work distributes before any codec runs."""
+    video = df.where(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .build import _key_series_to_bytes, key_column
+from .build import _series_to_keys, key_column
 from .counting import CountingBloomFilter, counter_dtype
 from .filter import BloomFilter, test_positions
 from .hashing import get_hash_fn
@@ -36,7 +36,7 @@ def membership_udf(df_or_spark, bloom: BloomFilter):
         cfg_dict, raw = bc.value
         cfg = FilterConfig.from_dict(cfg_dict)
         bits = np.frombuffer(raw, dtype=np.uint8)
-        kb = _key_series_to_bytes(keys)
+        kb = _series_to_keys(keys)
         pos = get_hash_fn(cfg.hash_method)(kb, cfg.m, cfg.k)
         return pd.Series(test_positions(bits, pos))
 
@@ -61,7 +61,7 @@ def estimated_count_udf(df_or_spark, cbf: CountingBloomFilter):
         cfg_dict, raw = bc.value
         cfg = FilterConfig.from_dict(cfg_dict)
         counters = np.frombuffer(raw, dtype=counter_dtype(cfg.counting_bits))
-        kb = _key_series_to_bytes(keys)
+        kb = _series_to_keys(keys)
         pos = get_hash_fn(cfg.hash_method)(kb, cfg.m, cfg.k)
         return pd.Series(counters[pos].min(axis=1).astype(np.int64))
 
@@ -83,7 +83,7 @@ def hash_positions_column(col: Column, config: FilterConfig) -> Column:
 
     @pandas_udf("array<long>")
     def positions(keys: pd.Series) -> pd.Series:
-        kb = _key_series_to_bytes(keys)
+        kb = _series_to_keys(keys)
         pos = get_hash_fn(config.hash_method)(kb, config.m, config.k)
         return pd.Series(list(pos))
 

@@ -1,0 +1,266 @@
+"""Training-data pipeline operators over the real documents/embeddings
+testdata tables (sf0.001), with exact oracles computed in-test."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomspark.pipeline import (
+    brute_force_topk,
+    embedding_cosine_pairs,
+    exact_dedup,
+    lsh_bucketed_topk,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    with_fingerprint,
+    with_language_id,
+    with_quality,
+    with_token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _jaccard(a: str, b: str, n=3):
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_matches_python_oracle(docs):
+    got = {r["digest"]: (r["keep_id"], r["dup_count"]) for r in exact_dedup(docs).collect()}
+    import hashlib
+
+    oracle = {}
+    for r in docs.select("doc_id", "text").collect():
+        d = hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+        kid, cnt = oracle.get(d, (r["doc_id"], 0))
+        oracle[d] = (min(kid, r["doc_id"]), cnt + 1)
+    assert got == oracle
+    # duplicates exist in the corpus (generator plants them) or not — the
+    # invariant that matters: sum of dup_count == row count
+    assert sum(c for _, c in got.values()) == docs.count()
+
+
+def test_ngram_jaccard_pairs_exact(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap whatsoever here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    assert got[(1, 4)] == pytest.approx(1.0)
+    assert got[(1, 2)] == pytest.approx(_jaccard(rows[0][1], rows[1][1]))
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_minhash_signature_properties(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: r["signature"] for r in minhash_signatures(df, num_hashes=128).collect()}
+    assert all(len(s) == 128 for s in sigs.values())
+    # signature agreement rate approximates jaccard
+    agree_12 = np.mean(np.array(sigs[1]) == np.array(sigs[2]))
+    agree_13 = np.mean(np.array(sigs[1]) == np.array(sigs[3]))
+    j12 = _jaccard(rows[0][1], rows[1][1])
+    assert abs(agree_12 - j12) < 0.2
+    assert agree_13 < 0.1
+    # deterministic
+    sigs2 = {r["id"]: r["signature"] for r in minhash_signatures(df, num_hashes=128).collect()}
+    assert sigs == sigs2
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    """LSH candidates must contain every exact-Jaccard>=0.9 pair and,
+    after verification, exactly match the exact pair set."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, verify_threshold=0.9).collect()
+    }
+    # banded LSH with 32 bands of 4 rows catches j>=0.9 pairs w.p. ~1-1e-6
+    assert verified == exact
+    assert len(exact) > 0, "corpus should contain near-duplicates"
+
+
+def test_simhash_near_dups(spark):
+    rows = [
+        (1, "spark is a unified analytics engine for large scale data processing"),
+        (2, "spark is a unified analytics engine for large scale data processing today"),
+        (3, "bloom filters are probabilistic data structures for set membership"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(df, max_hamming=12).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+    # pigeonhole correctness: banded candidates + verify find EVERY pair
+    # within the radius (compare against direct fingerprint distances)
+    from bloomspark.pipeline import simhash_column
+
+    fps = {
+        r["doc_id"]: r["fp"] & (2**64 - 1)
+        for r in df.select("doc_id", simhash_column("text").alias("fp")).collect()
+    }
+    ids = sorted(fps)
+    oracle = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 12
+    }
+    assert pairs == oracle
+
+
+def test_embedding_cosine_pairs_vs_numpy(emb):
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.95).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    oracle = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sorted((ids[i], ids[j]))
+            if sims[i, j] >= 0.95:
+                oracle[(a, b)] = sims[i, j]
+    assert set(got) == set(oracle)
+    for pair, val in got.items():
+        assert val == pytest.approx(oracle[pair], abs=1e-9)
+
+
+def test_brute_force_topk_vs_numpy(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[0]
+    got = brute_force_topk(emb, q.tolist(), k=10).collect()
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:10]
+    assert [r["id"] for r in got] == [int(ids[i]) for i in order]
+    assert got[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall(emb):
+    """Deterministic (fixed data + seed): mean recall over 5 queries.
+
+    The testdata embeddings are uniform-random (neighbor cosine ~0.34),
+    the hardest case for hyperplane LSH; theory predicts ~0.5 recall at
+    4 planes with hamming-1 multiprobe while scanning ~5/16 of the
+    corpus — observed 0.56 on this fixture."""
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    recalls = []
+    for qi in range(5):
+        q = mat[qi].tolist()
+        exact = {r["id"] for r in brute_force_topk(emb, q, k=5).collect()}
+        approx = {r["id"] for r in lsh_bucketed_topk(emb, q, k=5, planes=4).collect()}
+        # the query vector itself is always in its own bucket
+        assert rows[qi]["vec_id"] in approx
+        recalls.append(len(exact & approx) / 5)
+    assert np.mean(recalls) >= 0.4
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was happy for the day"),
+        (2, "der Hund ist nicht auf der Strasse und das ist gut"),
+        (3, "le chat est dans la maison et il est pour le moment"),
+        (4, "xyzzy plugh qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_id"] for r in with_language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! This is a test.")], "doc_id long, text string")
+    r = with_token_counts(df).collect()[0]
+    assert r["n_ws_tokens"] == 6
+    # hello , world ! this is a test . -> 9 BPE-ish pieces
+    assert r["n_bpe_tokens"] == 9
+
+
+def test_quality_features(docs):
+    out = with_quality(docs).select(
+        "doc_id", "n_chars_q", "n_tokens", "alpha_ratio", "quality_score"
+    ).collect()
+    for r in out:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert r["n_tokens"] >= 1
+
+
+def test_fingerprint_normalization(spark):
+    rows = [
+        (1, "Hello   World"),
+        (2, "hello world"),
+        (3, "  HELLO\t\tWORLD  "),
+        (4, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]
+
+
+def test_multimodal_plumbing(spark):
+    from bloomspark.pipeline.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        make_media_table,
+    )
+
+    media = make_media_table(spark, rows=48, partitions=4)
+    feats = extract_features(media, decode_mode="fake").collect()
+    assert len(feats) == 48
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0 and len(r["sha"]) == 64
+    # determinism across partitionings
+    feats2 = extract_features(media.repartition(7), decode_mode="fake").collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in feats2
+    }
+    # real decode is an explicit seam
+    with pytest.raises(Exception) as ei:
+        extract_features(media, decode_mode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+    plan = frame_sample_plan(media, every_ms=500)
+    vids = media.where(F.col("kind") == "video").count()
+    assert plan.select("media_id").distinct().count() == vids
+    assert plan.count() > vids  # multiple frames per video
