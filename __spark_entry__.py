@@ -199,6 +199,98 @@ def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 digest — hash-groupBy, map-side combinable."""
+    from bloomspark.pipeline import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("digest", "keep_id", "dup_count")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (explode + self-join)."""
+    from bloomspark.pipeline import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified at 0.8 (the scale path;
+    rows-only driver check — minhash is not SQL-expressible — but its
+    verified output equals q_jaccard_pairs' pair set by construction)."""
+    from bloomspark.pipeline import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, verify_threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups within hamming 12 (rows-only driver check)."""
+    from bloomspark.pipeline import simhash_near_dups
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=8).select("id_a", "id_b", "hamming")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts: whitespace + BPE-ish subword pieces."""
+    from bloomspark.pipeline import with_token_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_token_counts(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score."""
+    from bloomspark.pipeline import with_quality
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_quality(docs).select(
+        "doc_id",
+        "n_tokens",
+        "alpha_ratio",
+        "stopword_ratio",
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language identification."""
+    from bloomspark.pipeline import with_language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_language_id(docs).select("doc_id", "lang_id")
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a fixed query vector (vec_id=0), built-in
+    zip_with/aggregate arithmetic only."""
+    from bloomspark.pipeline import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = brute_force_topk(emb, [float(x) for x in qvec], k=10)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints over normalized text (rows-only check)."""
+    from bloomspark.pipeline import with_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_membership": q_bloom_membership,
@@ -211,6 +303,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fpp_bound": q_fpp_bound,
         "hash_golden_md5": q_hash_golden_md5,
         "sha_invariant": q_sha_invariant,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dups": q_simhash_dups,
+        "text_stats": q_text_stats,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "knn_topk": q_knn_topk,
+        "fingerprints": q_fingerprints,
     }
 
 
@@ -273,5 +374,132 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sha_invariant": """
             SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS digest,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "jaccard_pairs": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            sh0 AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, length(toks) - 2)) AS i
+                FROM t WHERE length(toks) >= 3
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                FROM sh0
+                UNION
+                SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS shingle
+                FROM t WHERE length(toks) < 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            c AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT c.id_a, c.id_b,
+                   round(nc / (sa.n + sb.n - nc), 6) AS jaccard
+            FROM c
+            JOIN sz sa ON sa.doc_id = c.id_a
+            JOIN sz sb ON sb.doc_id = c.id_b
+            WHERE nc / (sa.n + sb.n - nc) >= 0.8
+        """,
+        "minhash_lsh": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            sh0 AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, length(toks) - 2)) AS i
+                FROM t WHERE length(toks) >= 3
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                FROM sh0
+                UNION
+                SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS shingle
+                FROM t WHERE length(toks) < 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            c AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT c.id_a, c.id_b,
+                   round(nc / (sa.n + sb.n - nc), 6) AS jaccard
+            FROM c
+            JOIN sz sa ON sa.doc_id = c.id_a
+            JOIN sz sb ON sb.doc_id = c.id_b
+            WHERE nc / (sa.n + sb.n - nc) >= 0.8
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   length(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+                   length(regexp_extract_all(text, '(\\w+|[^\\w\\s])', 1)) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(length(regexp_extract_all(lower(text),
+                             '\\b(the|and|of|to|in|is|that|it|was|for)\\b', 1))
+                         / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                       AS stopword_ratio,
+                   round(
+                     (CASE WHEN length(text) BETWEEN 200 AND 50000 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN length(text) / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1)
+                            BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for)\\b', 1))
+                            / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1) >= 0.05
+                       THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+            FROM documents
+        """,
+        "lang_id": """
+            WITH c AS (
+                SELECT doc_id,
+                    length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for)\\b', 1)) AS c_en,
+                    length(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\\b', 1)) AS c_de,
+                    length(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans|que|pour|pas)\\b', 1)) AS c_fr,
+                    length(regexp_extract_all(lower(text), '\\b(el|la|los|y|es|una|en|que|por|con)\\b', 1)) AS c_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(c_en, c_de, c_fr, c_es) <= 0 THEN 'und'
+                        WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                        WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                        WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                        ELSE 'es' END AS lang_id
+            FROM c
+        """,
+        "knn_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id AS id,
+                       list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+                FROM embeddings e, q
+            )
+            SELECT id, round(cos, 6) AS cosine
+            FROM scored ORDER BY cos DESC, id ASC LIMIT 10
         """,
     }
