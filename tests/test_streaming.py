@@ -1,0 +1,107 @@
+"""Expiring-filter semantics (batch tier) and streaming incremental
+build (SURVEY.md §2.6 re-expressed)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomspark import BloomFilter, FilterConfig
+from bloomspark.streaming import ExpiringBloomFilter, streaming_bloom_build
+
+CFG = FilterConfig.complete(n=1000, p=1e-6, counting_bits=16)
+
+
+def _reads(spark, rows):
+    return spark.createDataFrame(rows, "key string, ts_ms long, ttl_ms long")
+
+
+def test_ttl_max_merge_and_expiry(spark):
+    # two reads of the same key: TTL extends to the max (TimeMap semantics)
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("a", 1000, 500), ("a", 1000, 2000), ("b", 1000, 100)]), CFG
+    )
+    ttls = {r["key"]: r["expires_at_ms"] for r in ebf.ttls.collect()}
+    assert ttls == {"a": 3000, "b": 1100}
+
+    # at t=1200: b expired, a alive
+    alive = {r["key"] for r in ebf.unexpired(1200).collect()}
+    assert alive == {"a"}
+    cbf = ebf.snapshot_filter(now_ms=1200)
+    assert cbf.contains("a") and not cbf.contains("b")
+    # at t=5000 everything expired
+    assert ebf.snapshot_filter(now_ms=5000).is_empty()
+
+
+def test_grace_period(spark):
+    ebf = ExpiringBloomFilter.from_reads(_reads(spark, [("k", 0, 100)]), CFG)
+    assert ebf.snapshot_filter(now_ms=150, grace_ms=0).is_empty()
+    assert ebf.snapshot_filter(now_ms=150, grace_ms=100).contains("k")
+
+
+def test_remaining_ttl(spark):
+    ebf = ExpiringBloomFilter.from_reads(_reads(spark, [("k", 0, 100)]), CFG)
+    probe = spark.createDataFrame([("k",), ("missing",)], "key string")
+    got = {r["key"]: r["remaining_ms"] for r in ebf.remaining_ttl(probe, "key", 40).collect()}
+    assert got["k"] == 60
+    assert got["missing"] is None
+    # expired -> null (reference returns null for expired TTLs)
+    got2 = {r["key"]: r["remaining_ms"] for r in ebf.remaining_ttl(probe, "key", 200).collect()}
+    assert got2["k"] is None
+
+
+def test_report_read_extends(spark):
+    ebf = ExpiringBloomFilter.from_reads(_reads(spark, [("k", 0, 100)]), CFG)
+    ebf2 = ebf.report_read(_reads(spark, [("k", 150, 100)]))
+    assert ebf2.snapshot_filter(now_ms=200).contains("k")
+    assert ebf.snapshot_filter(now_ms=200).is_empty()
+
+
+def test_cleanup_ttls(spark):
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("old", 0, 10), ("new", 0, 10_000)]), CFG
+    )
+    cleaned = ebf.cleanup_ttls(now_ms=5000, grace_ms=0)
+    assert {r["key"] for r in cleaned.ttls.collect()} == {"new"}
+
+
+def test_is_known_column(spark):
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("a", 0, 10_000), ("b", 0, 10)]), CFG
+    )
+    probe = spark.createDataFrame([("a",), ("b",), ("c",)], "key string")
+    got = {r["key"]: r["known"] for r in ebf.is_known(probe, "key", now_ms=500).collect()}
+    assert got == {"a": True, "b": False, "c": False}
+
+
+def test_streaming_incremental_build(spark, tmp_path):
+    """rate-source stream -> foreachBatch incremental filter; the merged
+    checkpoint must contain every streamed key."""
+    ckpt = str(tmp_path / "stream_ck")
+    cfg = FilterConfig.complete(n=10_000, p=1e-6)
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(F.col("value").cast("string").alias("key"))
+    )
+    q = streaming_bloom_build(stream, "key", cfg, ckpt)
+    try:
+        deadline = time.time() + 30
+        seen = 0
+        while time.time() < deadline:
+            time.sleep(2)
+            if os.path.exists(os.path.join(ckpt, "bitset.bin")):
+                with open(os.path.join(ckpt, "bitset.bin"), "rb") as f:
+                    bf = BloomFilter.from_bytes(cfg, f.read())
+                seen = int(bf.get_estimated_population())
+                if seen >= 100:
+                    break
+    finally:
+        q.stop()
+    assert seen >= 100, f"stream produced only ~{seen} keys"
+    with open(os.path.join(ckpt, "bitset.bin"), "rb") as f:
+        bf = BloomFilter.from_bytes(cfg, f.read())
+    # no false negatives over the streamed prefix
+    assert all(bf.contains(str(i)) for i in range(50))
