@@ -291,6 +291,34 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_events_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom over users who emitted an error event, probed for every user."""
+    events = _read(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    errs = events.where(F.col("event_type") == "error")
+    cfg = FilterConfig.complete(n=max(errs.count(), 1), p=EXACT_P)
+    bf = build_bloom(errs, "user_id", cfg)
+    return with_membership(users, "user_id", bf, out_col="had_error").select(
+        "user_id", "had_error"
+    )
+
+
+def q_grouped_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group probe: (user, event_type) grid against per-type filters —
+    broadcast-join + vectorized per-row-filter probe (with_group_membership)."""
+    from bloomspark.grouped import with_group_membership
+
+    events = _read(spark, sf_dir, "events")
+    cfg = FilterConfig.complete(n=max(events.count(), 1), p=EXACT_P)
+    filters = build_bloom_per_group(events, "event_type", "user_id", cfg)
+    grid = events.select("user_id").distinct().crossJoin(
+        events.select("event_type").distinct()
+    )
+    return with_group_membership(
+        grid, "event_type", "user_id", filters, cfg, out_col="member"
+    ).select("user_id", "event_type", "member")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_membership": q_bloom_membership,
@@ -312,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "knn_topk": q_knn_topk,
         "fingerprints": q_fingerprints,
+        "events_error_users": q_events_error_users,
+        "grouped_membership": q_grouped_membership,
     }
 
 
@@ -472,6 +502,21 @@ def oracle_sql() -> dict[str, str]:
                             / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1) >= 0.05
                        THEN 0.25 ELSE 0.0 END), 6) AS quality_score
             FROM documents
+        """,
+        "events_error_users": """
+            SELECT user_id,
+                   user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
+                       AS had_error
+            FROM (SELECT DISTINCT user_id FROM events)
+        """,
+        "grouped_membership": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+                 t AS (SELECT DISTINCT event_type FROM events)
+            SELECT u.user_id, t.event_type,
+                   EXISTS (SELECT 1 FROM events e
+                           WHERE e.user_id = u.user_id
+                             AND e.event_type = t.event_type) AS member
+            FROM u CROSS JOIN t
         """,
         "lang_id": """
             WITH c AS (

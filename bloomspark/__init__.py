@@ -28,8 +28,17 @@ from .build import (
     build_partials,
 )
 from .probe import with_membership, with_estimated_count
-from .grouped import build_bloom_per_group, build_counting_per_group
-from .checkpoint import build_bloom_checkpointed, load as load_checkpoint
+from .grouped import (
+    build_bloom_per_group,
+    build_counting_per_group,
+    with_group_membership,
+)
+from .checkpoint import (
+    build_bloom_checkpointed,
+    build_counting_checkpointed,
+    load as load_checkpoint,
+    load_counting as load_counting_checkpoint,
+)
 
 __all__ = [
     "build_bloom",
@@ -41,7 +50,10 @@ __all__ = [
     "build_bloom_per_group",
     "build_counting_per_group",
     "build_bloom_checkpointed",
+    "build_counting_checkpointed",
     "load_checkpoint",
+    "load_counting_checkpoint",
+    "with_group_membership",
     "FilterConfig",
     "BloomFilter",
     "CountingBloomFilter",

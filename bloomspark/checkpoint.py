@@ -193,3 +193,129 @@ def remove(checkpoint_dir: str) -> None:
     import shutil
 
     shutil.rmtree(checkpoint_dir, ignore_errors=True)
+
+
+COUNTING_BUCKET_SCHEMA = (
+    "bucket int, rows bigint, nonzero bigint, fingerprint bigint, "
+    "t_ms double, counters binary"
+)
+
+
+def build_counting_checkpointed(
+    df: DataFrame,
+    col: str,
+    config: FilterConfig,
+    checkpoint_dir: str,
+    *,
+    num_buckets: int = 32,
+    overwrite_if_exists: bool = False,
+):
+    """Checkpoint-resumable counting build (same content-addressed
+    bucketing and lineage as the plain filter; merge = saturating add,
+    which is associative, so resume order is irrelevant)."""
+    import shutil
+
+    from .counting import CountingBloomFilter, add_saturating, counter_dtype, counter_max
+
+    spark = df.sparkSession
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    config_path = os.path.join(checkpoint_dir, "config.json")
+    partials_path = os.path.join(checkpoint_dir, "partials")
+
+    if os.path.exists(config_path) and not overwrite_if_exists:
+        existing = FilterConfig.from_dict(json.load(open(config_path))["config"])
+        if not existing.is_compatible_to(config) or (
+            existing.counting_bits != config.counting_bits
+        ):
+            raise ValueError(
+                f"Checkpoint at {checkpoint_dir} holds an incompatible config"
+            )
+    else:
+        if overwrite_if_exists and os.path.exists(partials_path):
+            shutil.rmtree(partials_path, ignore_errors=True)
+        with open(config_path, "w") as f:
+            json.dump({"config": config.to_dict(), "num_buckets": num_buckets}, f)
+
+    done = set(completed_buckets(spark, checkpoint_dir))
+    missing = [b for b in range(num_buckets) if b not in done]
+
+    if missing:
+        m, k = config.m, config.k
+        method = config.hash_method
+        dt = counter_dtype(config.counting_bits)
+        mx = counter_max(config.counting_bits)
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            t0 = time.time()
+            keys = _series_to_keys(pdf["__key"])
+            pos = get_hash_fn(method)(keys, m, k)
+            counters = np.zeros(m, dtype=dt)
+            upos, ucnt = np.unique(pos.ravel(), return_counts=True)
+            wide = np.minimum(ucnt.astype(np.uint64), np.uint64(mx))
+            counters[upos] = wide.astype(dt)
+            fp = (
+                int(murmur3_32(keys, 0).astype(np.uint64).sum() % np.uint64(2**63))
+                if len(keys)
+                else 0
+            )
+            return pd.DataFrame(
+                {
+                    "bucket": [int(pdf["__bucket"].iloc[0])],
+                    "rows": [len(keys)],
+                    "nonzero": [int(np.count_nonzero(counters))],
+                    "fingerprint": [fp],
+                    "t_ms": [(time.time() - t0) * 1000.0],
+                    "counters": [counters.tobytes()],
+                }
+            )
+
+        keyed = df.select(key_column(col).alias("__key")).withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col("__key")), F.lit(num_buckets))
+        )
+        if len(missing) < num_buckets:
+            keyed = keyed.where(F.col("__bucket").isin(missing))
+        partials = keyed.groupBy("__bucket").applyInPandas(
+            build, schema=COUNTING_BUCKET_SCHEMA
+        )
+        partials.write.mode("append").parquet(partials_path)
+
+    all_rows = spark.read.parquet(partials_path).collect()
+    cbf = CountingBloomFilter(config)
+    lineage = {}
+    for row in all_rows:
+        arr = np.frombuffer(row["counters"], dtype=counter_dtype(config.counting_bits))
+        add_saturating(cbf.counters, arr, cbf.max_count, cbf._on_overflow)
+        lineage[str(row["bucket"])] = {
+            "rows": row["rows"],
+            "nonzero": row["nonzero"],
+            "fingerprint": row["fingerprint"],
+            "t_ms": row["t_ms"],
+        }
+    with open(os.path.join(checkpoint_dir, "counters.bin"), "wb") as f:
+        f.write(cbf.to_bytes())
+    with open(os.path.join(checkpoint_dir, "lineage.json"), "w") as f:
+        json.dump(
+            {
+                "num_buckets": num_buckets,
+                "resumed_buckets": sorted(done),
+                "built_buckets": missing,
+                "total_rows": int(sum(l["rows"] for l in lineage.values())),
+                "buckets": lineage,
+            },
+            f,
+            indent=2,
+        )
+    return cbf
+
+
+def load_counting(checkpoint_dir: str):
+    """Load a completed counting filter from its checkpoint dir."""
+    from .counting import CountingBloomFilter
+
+    config_path = os.path.join(checkpoint_dir, "config.json")
+    bits_path = os.path.join(checkpoint_dir, "counters.bin")
+    if not (os.path.exists(config_path) and os.path.exists(bits_path)):
+        return None
+    config = FilterConfig.from_dict(json.load(open(config_path))["config"])
+    with open(bits_path, "rb") as f:
+        return CountingBloomFilter.from_bytes(config, f.read())

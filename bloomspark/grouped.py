@@ -148,3 +148,60 @@ def collect_group_filters(grouped: DataFrame, config: FilterConfig) -> dict:
         row["group"]: BloomFilter.from_bytes(config, row["bitset"])
         for row in grouped.collect()
     }
+
+
+def with_group_membership(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    grouped_filters: DataFrame,
+    config: FilterConfig,
+    *,
+    out_col: str = "member",
+) -> DataFrame:
+    """Probe each row's key against ITS OWN group's filter.
+
+    ``grouped_filters`` is the output of :func:`build_bloom_per_group`
+    with the same ``config``.  The (small) filters table is
+    broadcast-joined onto the probe rows — Catalyst plans a
+    BroadcastHashJoin, so the probe side never shuffles — then one
+    Arrow-batched UDF tests each key against its row's bitset,
+    factorizing the batch by distinct filter to stay vectorized.  Rows
+    whose group has no filter probe False.  This is the Spark shape of
+    'membership against a per-tenant sketch'.
+    """
+    from pyspark.sql.functions import broadcast, pandas_udf
+
+    from .filter import test_positions
+    from .hashing import get_hash_fn, keys_from_pandas
+
+    m, k, method = config.m, config.k, config.hash_method
+
+    @pandas_udf("boolean")
+    def probe(keys: pd.Series, bitsets: pd.Series) -> pd.Series:
+        kb = keys_from_pandas(keys)
+        pos = get_hash_fn(method)(kb, m, k)
+        out = np.zeros(len(keys), dtype=bool)
+        codes, uniques = pd.factorize(
+            bitsets.map(lambda b: None if b is None else bytes(b))
+        )
+        for ui, raw in enumerate(uniques):
+            if raw is None:
+                continue
+            idx = np.nonzero(codes == ui)[0]
+            bits = np.frombuffer(raw, dtype=np.uint8)
+            out[idx] = test_positions(bits, pos[idx])
+        return pd.Series(out)
+
+    joined = df.join(
+        broadcast(
+            grouped_filters.select(
+                F.col("group").alias("__g"), F.col("bitset").alias("__bits")
+            )
+        ),
+        on=F.col(group_col).cast("string") == F.col("__g"),
+        how="left",
+    )
+    return joined.withColumn(
+        out_col, probe(key_column(key_col), F.col("__bits"))
+    ).drop("__g", "__bits")

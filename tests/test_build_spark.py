@@ -203,3 +203,20 @@ def test_probe_disjoint_fpp_bound(spark):
     hits = with_membership(probes, "sha", bf).where(F.col("member")).count()
     observed = hits / 20_000
     assert observed <= 2 * 0.01, f"observed FPP {observed:.4%}"
+
+
+def test_group_membership_probe(spark, customer):
+    from bloomspark.grouped import with_group_membership
+
+    cfg = FilterConfig.complete(n=500, p=1e-9)
+    gf = build_bloom_per_group(customer, "c_mktsegment", "c_custkey", cfg)
+    own = with_group_membership(customer, "c_mktsegment", "c_custkey", gf, cfg)
+    assert own.where(~F.col("member")).count() == 0  # no false negatives
+    # unknown keys probe False everywhere
+    shifted = customer.withColumn("c_custkey", F.col("c_custkey") + 10_000_000)
+    probed = with_group_membership(shifted, "c_mktsegment", "c_custkey", gf, cfg)
+    assert probed.where(F.col("member")).count() == 0
+    # a group missing from the filters table probes False, not null/error
+    alien = customer.withColumn("c_mktsegment", F.lit("NO_SUCH_SEGMENT"))
+    pa_ = with_group_membership(alien, "c_mktsegment", "c_custkey", gf, cfg)
+    assert pa_.where(F.col("member")).count() == 0

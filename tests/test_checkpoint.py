@@ -87,3 +87,30 @@ def test_bucket_determinism_across_runs(spark, orders, tmp_path):
     for b in l1:
         assert l1[b]["fingerprint"] == l2[b]["fingerprint"]
         assert l1[b]["rows"] == l2[b]["rows"]
+
+
+def test_counting_checkpoint_resume(spark, lineitem, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bloomspark import (
+        build_counting,
+        build_counting_checkpointed,
+        load_counting_checkpoint,
+    )
+
+    cfg = FilterConfig.complete(n=2000, p=1e-6, counting_bits=32)
+    d = str(tmp_path / "cck")
+    # partial build (half the buckets' rows), then resume over full input
+    half = lineitem.where(
+        F.pmod(F.xxhash64(F.col("l_partkey").cast("string")), F.lit(8)) < 4
+    )
+    build_counting_checkpointed(half, "l_partkey", cfg, d, num_buckets=8)
+    resumed = build_counting_checkpointed(lineitem, "l_partkey", cfg, d, num_buckets=8)
+    cold = build_counting(lineitem, "l_partkey", cfg)
+    assert resumed == cold
+    loaded = load_counting_checkpoint(d)
+    assert loaded == cold
+    # estimates equal exact counts at this FPP
+    exact = lineitem.groupBy("l_partkey").count().collect()
+    for r in exact[:30]:
+        assert loaded.get_estimated_count(str(r["l_partkey"])) == r["count"]
