@@ -23,6 +23,7 @@ from .counting import CountingBloomFilter, merge_all_counting
 from .hashing import hash_positions, murmur3_32, as_bytes_array
 from .build import (
     build_bloom,
+    build_bloom_report,
     build_counting,
     build_counting_with_removals,
     build_partials,
@@ -42,6 +43,7 @@ from .checkpoint import (
 
 __all__ = [
     "build_bloom",
+    "build_bloom_report",
     "build_counting",
     "build_counting_with_removals",
     "build_partials",

@@ -330,6 +330,42 @@ def _collect_arrow(df: DataFrame):
     return pdf.to_dict("records")
 
 
+def build_bloom_report(
+    df: DataFrame,
+    col: str,
+    config: FilterConfig,
+    **kwargs,
+):
+    """build_bloom + a metrics/lineage report dict: wall time, rows,
+    ones, per-collected-partial metrics (per input partition when no
+    tree merge ran, per merge group otherwise), throughput."""
+    t0 = time.time()
+    bf, rows = _build_bloom_impl(df, col, config, **kwargs)
+    wall = time.time() - t0
+    total_rows = int(sum(r["rows"] for r in rows))
+    report = {
+        "wall_sec": wall,
+        "rows": total_rows,
+        "rows_per_sec": total_rows / wall if wall > 0 else None,
+        "ones": bf.cardinality(),
+        "fill_ratio": bf.cardinality() / config.m,
+        "estimated_population": bf.get_estimated_population(),
+        "config": config.to_dict(),
+        "partials": [
+            {
+                "part_id": r["part_id"],
+                "rows": r["rows"],
+                "ones": r["ones"],
+                "fingerprint": r["fingerprint"],
+                "t_ms": r["t_ms"],
+                "kind": r["kind"],
+            }
+            for r in rows
+        ],
+    }
+    return bf, report
+
+
 def build_bloom(
     df: DataFrame,
     col: str,
@@ -351,6 +387,37 @@ def build_bloom(
     partials = build_partials(df, col, config)
     n_parts = df.rdd.getNumPartitions()
     if _should_tree_merge(n_parts, config.num_bytes, tree_merge_threshold):
+        # two executor-side reduction levels: P -> groups -> 1, so the
+        # driver collects ONE partial instead of `groups` multi-MB rows —
+        # the driver-side serial fraction is what caps scaling efficiency
+        partials = (
+            partials.withColumn(
+                "part_id", F.pmod(F.col("part_id"), F.lit(tree_merge_groups))
+            )
+            .groupBy("part_id")
+            .applyInPandas(_or_merge_partials(config), schema=PARTIAL_SCHEMA)
+        )
+        partials = (
+            partials.withColumn("part_id", F.lit(0))
+            .groupBy("part_id")
+            .applyInPandas(_or_merge_partials(config), schema=PARTIAL_SCHEMA)
+        )
+    rows = _collect_arrow(partials)
+    bf = merge_partial_rows(rows, config)
+    return bf
+
+
+def _build_bloom_impl(df, col, config, **kwargs):
+    """build_bloom, but also returning the collected partial rows (for
+    the metrics report)."""
+    num_partitions = kwargs.get("num_partitions")
+    tree_merge_threshold = kwargs.get("tree_merge_threshold")
+    tree_merge_groups = kwargs.get("tree_merge_groups", DEFAULT_TREE_MERGE_GROUPS)
+    if num_partitions is not None:
+        df = df.repartition(num_partitions)
+    partials = build_partials(df, col, config)
+    n_parts = df.rdd.getNumPartitions()
+    if _should_tree_merge(n_parts, config.num_bytes, tree_merge_threshold):
         partials = (
             partials.withColumn(
                 "part_id", F.pmod(F.col("part_id"), F.lit(tree_merge_groups))
@@ -359,8 +426,7 @@ def build_bloom(
             .applyInPandas(_or_merge_partials(config), schema=PARTIAL_SCHEMA)
         )
     rows = _collect_arrow(partials)
-    bf = merge_partial_rows(rows, config)
-    return bf
+    return merge_partial_rows(rows, config), rows
 
 
 # ---------------------------------------------------------------------------

@@ -220,3 +220,18 @@ def test_group_membership_probe(spark, customer):
     alien = customer.withColumn("c_mktsegment", F.lit("NO_SUCH_SEGMENT"))
     pa_ = with_group_membership(alien, "c_mktsegment", "c_custkey", gf, cfg)
     assert pa_.where(F.col("member")).count() == 0
+
+
+def test_build_report_metrics(spark, orders):
+    from bloomspark import build_bloom, build_bloom_report
+
+    bf, report = build_bloom_report(orders.repartition(4), "o_orderkey", CFG)
+    assert bf == build_bloom(orders, "o_orderkey", CFG)
+    assert report["rows"] == orders.count()
+    assert report["ones"] == bf.cardinality()
+    assert 0 < report["fill_ratio"] < 1
+    assert len(report["partials"]) == 4
+    assert all(p["kind"] in ("sparse", "dense") for p in report["partials"])
+    import json
+
+    json.dumps(report)  # must be JSON-serializable as-is
