@@ -144,6 +144,26 @@ def bench_queries(spark, sf_dir: str):
         n_li,
     )
 
+    # training-data pipeline queries over documents/embeddings
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs.count()
+
+    from bloomspark.pipeline import brute_force_topk, minhash_lsh_pairs
+
+    timed(
+        "q7_minhash_lsh_dedup",
+        lambda: minhash_lsh_pairs(docs.repartition(nparts // 2), verify_threshold=0.8).count(),
+        n_docs,
+    )
+
+    qvec = emb.select("embedding").first()[0]
+    timed(
+        "q8_knn_bruteforce",
+        lambda: brute_force_topk(emb, [float(x) for x in qvec], k=10).collect(),
+        emb.count(),
+    )
+
     return results
 
 

@@ -116,6 +116,14 @@ class FilterConfig:
             raise ValueError(f"Unknown hash method {hash_method!r}; one of {HASH_METHODS}")
         if m <= 0 or k <= 0:
             raise ValueError(f"m and k must be positive (got m={m}, k={k})")
+        if m > 2**31 - 1:
+            # reference parity: FilterBuilder caps m at Java int
+            # (FilterBuilder.java:31); our position arrays are uint32.
+            # 64-bit m is a planned extension (see STATUS.md).
+            raise ValueError(
+                f"m={m} exceeds 2^31-1 (Java int parity cap); "
+                "shard into multiple filters or lower n/raise p"
+            )
         return cls(
             m=m,
             k=k,

@@ -236,10 +236,31 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
-    exact = ngram_jaccard_pairs(
-        df, text_col=text_col, id_col=id_col, n=n, threshold=verify_threshold
+    # verify ONLY the candidates (never the full pair space): join each
+    # side's shingle set onto the pair and compute exact Jaccard with
+    # JVM built-ins (array_intersect) — at scale candidates ≪ all pairs
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_column(text_col, n)).alias("shingles"),
     )
-    return cands.join(exact, on=["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    return (
+        cands.join(
+            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
