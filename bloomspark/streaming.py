@@ -162,3 +162,64 @@ def streaming_bloom_build(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def expiring_membership_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "key",
+    time_col: str = "event_time",
+    ttl_col: str = "ttl_ms",
+    watermark_delay: str = "0 seconds",
+):
+    """Per-key expiring membership as a stateful streaming operator.
+
+    The applyInPandasWithState tier of the reference's expiring family
+    (SURVEY.md §2.6): each key's state is its TTL expiration
+    (reportRead max-merge, TimeMap.java:59-62); an event-time timeout
+    fires when the watermark passes the expiration, emitting the
+    'expired' transition — the streaming-native replacement for the
+    reference's DelayQueue expiry worker
+    (ExpirationQueueMemory.java:31-45).
+
+    Input: a streaming DataFrame with (key, event_time timestamp,
+    ttl_ms).  Output stream: (key, expires_at_ms, status) where status
+    is 'known' on update and 'expired' when the timer fires.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: "GroupState"):
+        kstr = key[0]
+        if state.hasTimedOut:
+            (old,) = state.get if state.exists else (None,)
+            state.remove()
+            yield pd.DataFrame(
+                {"key": [kstr], "expires_at_ms": [old], "status": ["expired"]}
+            )
+            return
+        mx = 0
+        for pdf in pdf_iter:
+            ts_ms = pdf[time_col].astype("int64") // 1_000_000
+            mx = max(mx, int((ts_ms + pdf[ttl_col]).max()))
+        if state.exists:
+            (cur,) = state.get
+            mx = max(mx, int(cur))
+        state.update((mx,))
+        state.setTimeoutTimestamp(mx)
+        yield pd.DataFrame(
+            {"key": [kstr], "expires_at_ms": [mx], "status": ["known"]}
+        )
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(time_col),
+        F.col(ttl_col),
+    ).withWatermark(time_col, watermark_delay)
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key string, expires_at_ms long, status string",
+        stateStructType="expires_at_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -105,3 +105,69 @@ def test_streaming_incremental_build(spark, tmp_path):
         bf = BloomFilter.from_bytes(cfg, f.read())
     # no false negatives over the streamed prefix
     assert all(bf.contains(str(i)) for i in range(50))
+
+
+def test_applyinpandaswithstate_expiry(spark, tmp_path):
+    """Event-time timers: a key's state expires when the watermark passes
+    its TTL; transitions arrive on the output stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from bloomspark.streaming import expiring_membership_stream
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        t = pa.table(
+            {
+                "key": pa.array([r[0] for r in rows]),
+                "event_time": pa.array(
+                    [datetime.utcfromtimestamp(r[1]) for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+                "ttl_ms": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+        pq.write_table(t, str(src / name))
+
+    base = 1_700_000_000  # fixed epoch seconds
+    write_batch("b1.parquet", [("a", base, 60_000), ("b", base, 5_000)])
+
+    stream = (
+        spark.readStream.schema("key string, event_time timestamp, ttl_ms long")
+        .parquet(str(src))
+    )
+    out = expiring_membership_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("expiring_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = {
+            (r["key"], r["status"]): r["expires_at_ms"]
+            for r in spark.sql("select * from expiring_test").collect()
+        }
+        assert rows1[("a", "known")] == base * 1000 + 60_000
+        assert rows1[("b", "known")] == base * 1000 + 5_000
+
+        # batch 2 advances the watermark past b's expiration (base+10s)
+        # but not a's (base+60s)
+        write_batch("b2.parquet", [("c", base + 10, 60_000)])
+        q.processAllAvailable()
+        # one more batch so the timer fires against the advanced watermark
+        write_batch("b3.parquet", [("d", base + 11, 60_000)])
+        q.processAllAvailable()
+        rows2 = [
+            (r["key"], r["status"])
+            for r in spark.sql("select * from expiring_test").collect()
+        ]
+        assert ("b", "expired") in rows2
+        assert ("a", "expired") not in rows2
+    finally:
+        q.stop()
