@@ -75,8 +75,9 @@ def bench_queries(spark, sf_dir: str):
         results[name] = (dt, rows)
 
     # the bench parquet files hold a single row group, so an explicit
-    # repartition (included in the timing) is required for any parallelism
-    nparts = 2 * CPUS
+    # repartition (included in the timing) is required for any parallelism;
+    # one task wave (nparts == cores) measured faster than two on this host
+    nparts = CPUS
     cfg = FilterConfig.complete(n=n_li, p=0.01)
     # warm-up outside the timings: Python worker spawn + numpy/Arrow JIT
     build_bloom(lineitem.limit(10_000), "l_orderkey", cfg, num_partitions=4)
