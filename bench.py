@@ -79,8 +79,9 @@ def bench_queries(spark, sf_dir: str):
     # one task wave (nparts == cores) measured faster than two on this host
     nparts = CPUS
     cfg = FilterConfig.complete(n=n_li, p=0.01)
-    # warm-up outside the timings: Python worker spawn + numpy/Arrow JIT
-    build_bloom(lineitem.limit(10_000), "l_orderkey", cfg, num_partitions=4)
+    # warm-up outside the timings: spawns the full worker pool (one per
+    # task slot) + numpy/Arrow JIT
+    build_bloom(lineitem.limit(50_000), "l_orderkey", cfg, num_partitions=nparts)
     bf_holder = {}
 
     timed(
