@@ -240,7 +240,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups within hamming 12 (rows-only driver check)."""
+    """SimHash near-dups within hamming 8."""
     from bloomspark.pipeline import simhash_near_dups
 
     docs = _read(spark, sf_dir, "documents")

@@ -47,11 +47,18 @@ from .params import FilterConfig
 def _hash_with_fingerprint(keys: Keys, config: FilterConfig):
     """(positions, fingerprint_sum) — the fingerprint is the uint64 sum of
     murmur3(0, key), which the default KM hash computes anyway as h1."""
+    pos, h1 = _hash_with_row_fingerprints(keys, config)
+    return pos, h1.sum()
+
+
+def _hash_with_row_fingerprints(keys: Keys, config: FilterConfig):
+    """(positions, per-row uint64 fingerprint) — for builders that split a
+    batch across buckets and need per-subset fingerprint sums."""
     if config.hash_method == "Murmur3KirschMitzenmacher":
         pos, h1 = km_positions_h1(keys, config.m, config.k)
-        return pos, h1.astype(np.uint64).sum()
+        return pos, h1.astype(np.uint64)
     pos = get_hash_fn(config.hash_method)(keys, config.m, config.k)
-    return pos, murmur3_32(keys, 0).astype(np.uint64).sum()
+    return pos, murmur3_32(keys, 0).astype(np.uint64)
 
 #: Partials are tree-merged on executors before the driver sees them
 #: whenever their total upper-bound size exceeds this (collecting
@@ -94,15 +101,6 @@ def _series_to_keys(series: pd.Series) -> Keys:
     bytes of the element's string form; binary columns pass through.
     """
     return keys_from_pandas(series)
-
-
-def _fingerprint(keys: np.ndarray) -> int:
-    """Order-independent content fingerprint of a key batch: the sum of
-    murmur3 hashes mod 2^63 (cheap, vectorized, merge-associative).
-    Backs per-partition lineage (see checkpoint.py)."""
-    if len(keys) == 0:
-        return 0
-    return int(murmur3_32(keys, 0).astype(np.uint64).sum() % np.uint64(2**63))
 
 
 def key_column(col: str, cast: bool = True) -> Column:

@@ -29,13 +29,19 @@ import time
 from typing import List, Optional
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .build import _merge_partial_arrays, _series_to_keys, key_column
+import pyarrow as pa
+
+from .build import (
+    _collect_arrow,
+    _hash_with_row_fingerprints,
+    _merge_partial_arrays,
+    key_column,
+)
 from .filter import BloomFilter, popcount
-from .hashing import get_hash_fn, murmur3_32
+from .hashing import Keys
 from .params import FilterConfig
 
 BUCKET_SCHEMA = (
@@ -43,34 +49,71 @@ BUCKET_SCHEMA = (
     "t_ms double, kind string, bitset binary"
 )
 
+_BUCKET_PA_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("rows", pa.int64()),
+        ("ones", pa.int64()),
+        ("fingerprint", pa.int64()),
+        ("t_ms", pa.float64()),
+        ("kind", pa.string()),
+        ("bitset", pa.binary()),
+    ]
+)
 
-def _bucket_builder(config: FilterConfig):
-    m, k = config.m, config.k
-    method = config.hash_method
+
+def _bucket_partials_gen(config: FilterConfig):
+    """mapInArrow generator over (__key, __bucket) batches.
+
+    Streams Arrow batches through per-bucket ``_PositionAccumulator``s
+    instead of materializing a whole bucket as one pandas DataFrame
+    (the round-1 ``groupBy().applyInPandas`` shape held 1/num_buckets of
+    the dataset in memory on one executor — an OOM at 100 TB).  Peak
+    memory is one Arrow batch + the accumulators (bitset-sized, not
+    row-sized).  A bucket is entirely within one partition because the
+    input is hash-repartitioned on ``__bucket``, so the one-partial-row
+    -per-bucket resume invariant is preserved."""
+    from .build import _PositionAccumulator
+
+    m = config.m
     num_bytes = config.num_bytes
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        from .build import _PositionAccumulator
-
+    def gen(batches):
         t0 = time.time()
-        keys = _series_to_keys(pdf["__key"])
-        acc = _PositionAccumulator(m, num_bytes)
-        acc.add(get_hash_fn(method)(keys, m, k))
-        kind, ones, payload = acc.finish()
-        fp = int(murmur3_32(keys, 0).astype(np.uint64).sum() % np.uint64(2**63)) if len(keys) else 0
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["__bucket"].iloc[0])],
-                "rows": [len(keys)],
-                "ones": [int(ones)],
-                "fingerprint": [fp],
-                "t_ms": [(time.time() - t0) * 1000.0],
-                "kind": [kind],
-                "bitset": [payload],
-            }
-        )
+        accs = {}  # bucket -> [accumulator, rows, fingerprint]
+        with np.errstate(over="ignore"):
+            for batch in batches:
+                keys = Keys.from_arrow(batch.column(0))
+                if len(keys) == 0:
+                    continue
+                buckets = np.asarray(batch.column(1))
+                pos, h1 = _hash_with_row_fingerprints(keys, config)
+                for b in np.unique(buckets):
+                    mask = buckets == b
+                    st = accs.setdefault(
+                        int(b),
+                        [_PositionAccumulator(m, num_bytes), 0, np.uint64(0)],
+                    )
+                    st[0].add(pos[mask])
+                    st[1] += int(mask.sum())
+                    st[2] = st[2] + h1[mask].sum()
+        if not accs:
+            return
+        rows_out = {k: [] for k in
+                    ("bucket", "rows", "ones", "fingerprint", "t_ms", "kind", "bitset")}
+        elapsed = (time.time() - t0) * 1000.0
+        for b, (acc, rows, fp) in sorted(accs.items()):
+            kind, ones, payload = acc.finish()
+            rows_out["bucket"].append(b)
+            rows_out["rows"].append(rows)
+            rows_out["ones"].append(int(ones))
+            rows_out["fingerprint"].append(int(fp % np.uint64(2**63)))
+            rows_out["t_ms"].append(elapsed / len(accs))
+            rows_out["kind"].append(kind)
+            rows_out["bitset"].append(payload)
+        yield pa.RecordBatch.from_pydict(rows_out, schema=_BUCKET_PA_SCHEMA)
 
-    return build
+    return gen
 
 
 def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> List[int]:
@@ -138,13 +181,13 @@ def build_bloom_checkpointed(
         )
         if len(missing) < num_buckets:
             keyed = keyed.where(F.col("__bucket").isin(missing))
-        partials = keyed.groupBy("__bucket").applyInPandas(
-            _bucket_builder(config), schema=BUCKET_SCHEMA
+        partials = keyed.repartition(num_buckets, "__bucket").mapInArrow(
+            _bucket_partials_gen(config), schema=BUCKET_SCHEMA
         )
         partials.write.mode("append").parquet(partials_path)
 
-    # Final merge + lineage snapshot
-    all_rows = spark.read.parquet(partials_path).collect()
+    # Final merge + lineage snapshot (Arrow collect — binary payloads)
+    all_rows = _collect_arrow(spark.read.parquet(partials_path))
     acc = _merge_partial_arrays(
         [r["kind"] for r in all_rows], [r["bitset"] for r in all_rows], config
     )
@@ -200,6 +243,17 @@ COUNTING_BUCKET_SCHEMA = (
     "t_ms double, counters binary"
 )
 
+_COUNTING_BUCKET_PA_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("rows", pa.int64()),
+        ("nonzero", pa.int64()),
+        ("fingerprint", pa.int64()),
+        ("t_ms", pa.float64()),
+        ("counters", pa.binary()),
+    ]
+)
+
 
 def build_counting_checkpointed(
     df: DataFrame,
@@ -236,37 +290,62 @@ def build_counting_checkpointed(
         with open(config_path, "w") as f:
             json.dump({"config": config.to_dict(), "num_buckets": num_buckets}, f)
 
+    meta = json.load(open(config_path))
+    if meta["num_buckets"] != num_buckets:
+        # mirror the plain-bloom guard: resuming with a different bucket
+        # count would rebuild already-done key ranges under a new pmod
+        # partitioning, and saturating-add merge (unlike OR) is NOT
+        # idempotent — checkpointed keys would silently double-count
+        raise ValueError(
+            f"Checkpoint was started with num_buckets={meta['num_buckets']}, "
+            f"got {num_buckets}"
+        )
+
     done = set(completed_buckets(spark, checkpoint_dir))
     missing = [b for b in range(num_buckets) if b not in done]
 
     if missing:
-        m, k = config.m, config.k
-        method = config.hash_method
+        m = config.m
         dt = counter_dtype(config.counting_bits)
         mx = counter_max(config.counting_bits)
 
-        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        def gen(batches):
+            # stream batches through per-bucket counter arrays — same
+            # O(batch + sketch) memory argument as _bucket_partials_gen
             t0 = time.time()
-            keys = _series_to_keys(pdf["__key"])
-            pos = get_hash_fn(method)(keys, m, k)
-            counters = np.zeros(m, dtype=dt)
-            upos, ucnt = np.unique(pos.ravel(), return_counts=True)
-            wide = np.minimum(ucnt.astype(np.uint64), np.uint64(mx))
-            counters[upos] = wide.astype(dt)
-            fp = (
-                int(murmur3_32(keys, 0).astype(np.uint64).sum() % np.uint64(2**63))
-                if len(keys)
-                else 0
-            )
-            return pd.DataFrame(
-                {
-                    "bucket": [int(pdf["__bucket"].iloc[0])],
-                    "rows": [len(keys)],
-                    "nonzero": [int(np.count_nonzero(counters))],
-                    "fingerprint": [fp],
-                    "t_ms": [(time.time() - t0) * 1000.0],
-                    "counters": [counters.tobytes()],
-                }
+            states = {}  # bucket -> [counters, rows, fingerprint]
+            with np.errstate(over="ignore"):
+                for batch in batches:
+                    keys = Keys.from_arrow(batch.column(0))
+                    if len(keys) == 0:
+                        continue
+                    buckets = np.asarray(batch.column(1))
+                    pos, h1 = _hash_with_row_fingerprints(keys, config)
+                    for b in np.unique(buckets):
+                        mask = buckets == b
+                        st = states.setdefault(
+                            int(b), [np.zeros(m, dtype=dt), 0, np.uint64(0)]
+                        )
+                        upos, ucnt = np.unique(pos[mask].ravel(), return_counts=True)
+                        wide = st[0][upos].astype(np.uint64) + ucnt.astype(np.uint64)
+                        np.minimum(wide, np.uint64(mx), out=wide)
+                        st[0][upos] = wide.astype(dt)
+                        st[1] += int(mask.sum())
+                        st[2] = st[2] + h1[mask].sum()
+            if not states:
+                return
+            cols = {k: [] for k in
+                    ("bucket", "rows", "nonzero", "fingerprint", "t_ms", "counters")}
+            elapsed = (time.time() - t0) * 1000.0
+            for b, (counters, rows, fp) in sorted(states.items()):
+                cols["bucket"].append(b)
+                cols["rows"].append(rows)
+                cols["nonzero"].append(int(np.count_nonzero(counters)))
+                cols["fingerprint"].append(int(fp % np.uint64(2**63)))
+                cols["t_ms"].append(elapsed / len(states))
+                cols["counters"].append(counters.tobytes())
+            yield pa.RecordBatch.from_pydict(
+                cols, schema=_COUNTING_BUCKET_PA_SCHEMA
             )
 
         keyed = df.select(key_column(col).alias("__key")).withColumn(
@@ -274,15 +353,20 @@ def build_counting_checkpointed(
         )
         if len(missing) < num_buckets:
             keyed = keyed.where(F.col("__bucket").isin(missing))
-        partials = keyed.groupBy("__bucket").applyInPandas(
-            build, schema=COUNTING_BUCKET_SCHEMA
+        partials = keyed.repartition(num_buckets, "__bucket").mapInArrow(
+            gen, schema=COUNTING_BUCKET_SCHEMA
         )
         partials.write.mode("append").parquet(partials_path)
 
-    all_rows = spark.read.parquet(partials_path).collect()
+    all_rows = _collect_arrow(spark.read.parquet(partials_path))
     cbf = CountingBloomFilter(config)
     lineage = {}
     for row in all_rows:
+        if len(row["counters"]) == 0:
+            lineage[str(row["bucket"])] = {
+                "rows": 0, "nonzero": 0, "fingerprint": 0, "t_ms": 0.0,
+            }
+            continue
         arr = np.frombuffer(row["counters"], dtype=counter_dtype(config.counting_bits))
         add_saturating(cbf.counters, arr, cbf.max_count, cbf._on_overflow)
         lineage[str(row["bucket"])] = {

@@ -102,9 +102,19 @@ class BloomFilter:
             bits = np.zeros(config.num_bytes, dtype=np.uint8)
         else:
             bits = np.asarray(bits, dtype=np.uint8)
-            if bits.size != config.num_bytes:
+            if bits.size > config.num_bytes:
+                # an oversized buffer means the payload was built under a
+                # DIFFERENT config — masking that as truncation hides
+                # corruption (checkpoint/JSON load against wrong params)
+                raise ValueError(
+                    f"bits buffer is {bits.size} bytes but config needs "
+                    f"{config.num_bytes}; refusing to truncate"
+                )
+            if bits.size < config.num_bytes:
+                # short buffers are legal: Java BitSet.toByteArray trims
+                # trailing zero bytes (json/BloomFilterConverter.java)
                 padded = np.zeros(config.num_bytes, dtype=np.uint8)
-                padded[: bits.size] = bits[: config.num_bytes]
+                padded[: bits.size] = bits
                 bits = padded
             else:
                 bits = bits.copy()

@@ -143,10 +143,14 @@ def build_counting_per_group(
 
 
 def collect_group_filters(grouped: DataFrame, config: FilterConfig) -> dict:
-    """Collect a per-group build into {group: BloomFilter} (small dims)."""
+    """Collect a per-group build into {group: BloomFilter} (small dims).
+
+    Uses ``toPandas()`` (Arrow path) — never row-``collect()`` binary
+    partials through py4j (CLAUDE.md invariant)."""
+    pdf = grouped.select("group", "bitset").toPandas()
     return {
-        row["group"]: BloomFilter.from_bytes(config, row["bitset"])
-        for row in grouped.collect()
+        g: BloomFilter.from_bytes(config, bytes(b))
+        for g, b in zip(pdf["group"], pdf["bitset"])
     }
 
 
@@ -162,30 +166,40 @@ def with_group_membership(
     """Probe each row's key against ITS OWN group's filter.
 
     ``grouped_filters`` is the output of :func:`build_bloom_per_group`
-    with the same ``config``.  The (small) filters table is
-    broadcast-joined onto the probe rows — Catalyst plans a
-    BroadcastHashJoin, so the probe side never shuffles — then one
-    Arrow-batched UDF tests each key against its row's bitset,
-    factorizing the batch by distinct filter to stay vectorized.  Rows
-    whose group has no filter probe False.  This is the Spark shape of
-    'membership against a per-tenant sketch'.
+    with the same ``config``.  The filters table is small (one row per
+    group), so it is collected once on the driver (Arrow ``toPandas``)
+    and broadcast to the executors as a ``{group: bitset}`` dict —
+    exactly like the single-filter probe (probe.py:29-43).  The probe
+    UDF receives ONLY the (group, key) columns; the multi-MB bitsets
+    never appear as a per-row column, so Arrow batch volume is
+    O(rows × key_bytes), not O(rows × m/8).  (Round-1 shipped the
+    bitset per probe row through a broadcast join — petabytes of Arrow
+    traffic at a 10⁹-row grid.)  The plan is a pure scan → Project →
+    ArrowEvalPython: no join, no shuffle.  Rows whose group has no
+    filter probe False.  This is the Spark shape of the reference's
+    pipelined bulk contains (redis/BloomFilterRedis.java:75-97) at
+    per-tenant granularity.
     """
-    from pyspark.sql.functions import broadcast, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     from .filter import test_positions
-    from .hashing import get_hash_fn, keys_from_pandas
+    from .hashing import get_hash_fn
 
     m, k, method = config.m, config.k, config.hash_method
+    fdf = grouped_filters.select("group", "bitset").toPandas()
+    filters = {g: bytes(b) for g, b in zip(fdf["group"], fdf["bitset"])}
+    bc = df.sparkSession.sparkContext.broadcast(filters)
 
     @pandas_udf("boolean")
-    def probe(keys: pd.Series, bitsets: pd.Series) -> pd.Series:
-        kb = keys_from_pandas(keys)
+    def probe(groups: pd.Series, keys: pd.Series) -> pd.Series:
+        table = bc.value
+        kb = _series_to_keys(keys)
         pos = get_hash_fn(method)(kb, m, k)
         out = np.zeros(len(keys), dtype=bool)
-        codes, uniques = pd.factorize(
-            bitsets.map(lambda b: None if b is None else bytes(b))
-        )
-        for ui, raw in enumerate(uniques):
+        # factorize by group: one vectorized bit-test per distinct filter
+        codes, uniques = pd.factorize(groups)
+        for ui, g in enumerate(uniques):
+            raw = table.get(g)
             if raw is None:
                 continue
             idx = np.nonzero(codes == ui)[0]
@@ -193,15 +207,6 @@ def with_group_membership(
             out[idx] = test_positions(bits, pos[idx])
         return pd.Series(out)
 
-    joined = df.join(
-        broadcast(
-            grouped_filters.select(
-                F.col("group").alias("__g"), F.col("bitset").alias("__bits")
-            )
-        ),
-        on=F.col(group_col).cast("string") == F.col("__g"),
-        how="left",
+    return df.withColumn(
+        out_col, probe(F.col(group_col).cast("string"), key_column(key_col))
     )
-    return joined.withColumn(
-        out_col, probe(key_column(key_col), F.col("__bits"))
-    ).drop("__g", "__bits")

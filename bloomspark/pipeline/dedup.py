@@ -422,9 +422,6 @@ def embedding_cosine_pairs(
 def _hyperplane_bucket_expr(vec_col: str, planes: int, seed: int, df: DataFrame):
     """B-bit sign bucket against deterministic random hyperplanes,
     evaluated with a vectorized pandas UDF (one matmul per batch)."""
-    dim = len(df.select(vec_col).first()[0]) if not isinstance(vec_col, str) else None
-    # infer dimension lazily inside the UDF instead of a driver action
-
     @pandas_udf("long")
     def bucket(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype=np.float64)

@@ -200,7 +200,12 @@ def expiring_membership_stream(
             return
         mx = 0
         for pdf in pdf_iter:
-            ts_ms = pdf[time_col].astype("int64") // 1_000_000
+            # normalize to datetime64[ns] first: pandas 2.x may hand the
+            # timestamp column over as datetime64[us]/[s], where a bare
+            # astype('int64') would be µs/s, not ns
+            ts_ms = (
+                pdf[time_col].astype("datetime64[ns]").astype("int64") // 1_000_000
+            )
             mx = max(mx, int((ts_ms + pdf[ttl_col]).max()))
         if state.exists:
             (cur,) = state.get
