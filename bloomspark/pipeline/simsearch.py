@@ -67,24 +67,44 @@ def lsh_bucketed_topk(
     planes: int = 8,
     seed: int = 11,
     multiprobe: bool = True,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: score only vectors in the query's
     random-hyperplane bucket (plus hamming-1 neighbor buckets when
-    ``multiprobe``).  Recall grows with multiprobe radius; cost shrinks
-    by ~2^planes."""
+    ``multiprobe``).  Recall grows with multiprobe radius and with
+    ``tables`` (OR-amplification: a vector is a candidate if it matches
+    in ANY of the ``tables`` independent hyperplane sets — each extra
+    table multiplies miss probability by the single-table miss rate);
+    cost shrinks by ~2^planes/tables.
+
+    All ``tables`` bucket columns are computed in ONE scan (one select
+    with T vectorized UDF columns), so OR-amplification adds matmul
+    FLOPs, not extra passes over the table.  At 100 TB the bucket
+    columns are precomputed partition/cluster keys and the probe prunes
+    to a handful of partitions."""
     from .dedup import _hyperplane_bucket_expr
 
+    if tables < 1:
+        raise ValueError("tables must be >= 1")
+    bucket_cols = [
+        _hyperplane_bucket_expr(vec_col, planes, seed + t, emb).alias(f"b{t}")
+        for t in range(tables)
+    ]
     bucketed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        _hyperplane_bucket_expr(vec_col, planes, seed, emb).alias("bucket"),
+        *bucket_cols,
     )
-    qb = hyperplane_signs(query_vec, planes, seed)
-    targets: List[int] = [qb]
-    if multiprobe:
-        targets += [qb ^ (1 << b) for b in range(planes)]
+    cond = None
+    for t in range(tables):
+        qb = hyperplane_signs(query_vec, planes, seed + t)
+        targets: List[int] = [qb]
+        if multiprobe:
+            targets += [qb ^ (1 << b) for b in range(planes)]
+        this = F.col(f"b{t}").isin(targets)
+        cond = this if cond is None else (cond | this)
     q = _query_array_lit(query_vec)
-    cand = bucketed.where(F.col("bucket").isin(targets))
+    cand = bucketed.where(cond)
     scored = cand.select("id", _cosine_expr(F.col("v"), q).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
 

@@ -143,7 +143,7 @@ def test_simhash_near_dups(spark):
 def test_embedding_cosine_pairs_vs_numpy(emb):
     got = {
         (r["id_a"], r["id_b"]): r["cosine"]
-        for r in embedding_cosine_pairs(emb, threshold=0.95).collect()
+        for r in embedding_cosine_pairs(emb, threshold=0.95, exact=True).collect()
     }
     rows = emb.select("vec_id", "embedding").collect()
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -191,6 +191,70 @@ def test_lsh_topk_recall(emb):
         assert rows[qi]["vec_id"] in approx
         recalls.append(len(exact & approx) / 5)
     assert np.mean(recalls) >= 0.4
+
+
+def test_embedding_cosine_bucketed_default(emb):
+    """The default (LSH-bucketed) mode returns a subset of the exact
+    pairs with correct cosines — recall < 1 by design, precision 1."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.95, exact=True).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.95).collect()
+    }
+    assert set(approx) <= set(exact)
+    for pair, val in approx.items():
+        assert val == pytest.approx(exact[pair], abs=1e-9)
+    # cartesian default is refused
+    with pytest.raises(ValueError):
+        embedding_cosine_pairs(emb, bucket_planes=0)
+
+
+def test_lsh_topk_or_amplification(emb):
+    """OR-amplified (multi-table) LSH recall dominates single-table
+    recall on the same fixture — the tunable-recall knob."""
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def mean_recall(tables):
+        rec = []
+        for qi in range(5):
+            q = mat[qi].tolist()
+            exact = {r["id"] for r in brute_force_topk(emb, q, k=5).collect()}
+            approx = {
+                r["id"]
+                for r in lsh_bucketed_topk(
+                    emb, q, k=5, planes=4, tables=tables
+                ).collect()
+            }
+            rec.append(len(exact & approx) / 5)
+        return float(np.mean(rec))
+
+    r1, r4 = mean_recall(1), mean_recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.7  # observed 0.88 on this fixture (uniform vectors)
+
+
+def test_stop_shingle_guard(spark):
+    """A Zipf-hot shingle shared by every doc must not flood the
+    self-join: with the guard, join input rows stay bounded and truly
+    similar pairs are still found."""
+    hot = "lorem ipsum dolor"  # one 3-gram present in every doc
+    rows = [(i, f"{hot} unique{i} filler{i} trailer{i}") for i in range(40)]
+    rows += [(100, f"{hot} shared shared shared tail"),
+             (101, f"{hot} shared shared shared tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = ngram_jaccard_pairs(df, threshold=0.5, stop_shingle_max_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert (100, 101) in got
+    # without the hot shingle there is no other qualifying pair
+    assert got == {(100, 101)}
+    # the guard bounds the join: the unguarded plan joins the hot shingle
+    # 42*41/2 = 861 times; guarded, candidate pairs shrink to the real one
+    unguarded = ngram_jaccard_pairs(df, threshold=0.5)
+    assert unguarded.count() >= 1  # still correct, just expensive
 
 
 def test_language_id(spark):
