@@ -308,6 +308,46 @@ def q_events_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expiring_known(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-sketch lifecycle over the events log (§2.6, ExpiringBloomFilter
+    .java): every event grants its user a 10-min read lease (reportRead
+    max-merge); 'error' events report writes (admitted only against a
+    live lease); the filter is evaluated at now = max event time with a
+    5-min grace.  cached/known/contained are all plain TTL SQL."""
+    from bloomspark.streaming import ExpiringBloomFilter
+
+    events = _read(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the cast to timestamp applies the session
+    # timezone as a CONSTANT offset over this one-month log, and every
+    # output column is a comparison of such values, so the offset cancels
+    ttl_ms, grace_ms = 600_000, 300_000
+    reads = events.select(
+        F.col("user_id").alias("key"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.lit(ttl_ms).alias("ttl_ms"),
+    )
+    n_users = events.select("user_id").distinct().count()
+    cfg = FilterConfig.complete(n=max(n_users, 1), p=EXACT_P, counting_bits=16)
+    ebf = ExpiringBloomFilter.from_reads(reads, cfg)
+    ebf = ebf.report_write(
+        events.where(F.col("event_type") == "error").select(
+            F.col("user_id").alias("key"), F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+        ),
+        "key",
+        "ts_ms",
+    )
+    now_ms = events.agg(F.max(F.unix_millis(F.col("ts").cast("timestamp")))).first()[0]
+    users = events.select(F.col("user_id").cast("string").alias("key")).distinct()
+    cached = ebf.is_cached(users, "key", now_ms)
+    known = ebf.is_known(users, "key", now_ms, grace_ms=grace_ms)
+    contained = ebf.contains(users, "key", now_ms)
+    return (
+        cached.join(known.select("key", "known"), "key")
+        .join(contained.select("key", "contained"), "key")
+        .select("key", "cached", "known", "contained")
+    )
+
+
 def q_grouped_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group probe: (user, event_type) grid against per-type filters —
     broadcast-join + vectorized per-row-filter probe (with_group_membership)."""
@@ -347,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "events_error_users": q_events_error_users,
         "grouped_membership": q_grouped_membership,
+        "expiring_known": q_expiring_known,
     }
 
 
@@ -513,6 +554,29 @@ def oracle_sql() -> dict[str, str]:
                    user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
                        AS had_error
             FROM (SELECT DISTINCT user_id FROM events)
+        """,
+        "expiring_known": """
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS key,
+                       epoch_ms(ts) AS ts_ms, event_type
+                FROM events
+            ),
+            lease AS (SELECT key, max(ts_ms) + 600000 AS exp FROM e GROUP BY key),
+            nowt AS (SELECT max(ts_ms) AS now FROM e),
+            wr AS (
+                SELECT DISTINCT e.key
+                FROM e
+                JOIN lease USING (key)
+                CROSS JOIN nowt
+                WHERE e.event_type = 'error'
+                  AND lease.exp > e.ts_ms
+                  AND lease.exp > nowt.now
+            )
+            SELECT l.key,
+                   l.exp > n.now AS cached,
+                   l.exp + 300000 > n.now AS known,
+                   l.key IN (SELECT key FROM wr) AS contained
+            FROM lease l CROSS JOIN nowt n
         """,
         "grouped_membership": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -39,20 +39,54 @@ from .params import FilterConfig
 
 
 class ExpiringBloomFilter:
-    """Batch-mode expiring membership sketch.
+    """Batch-mode expiring membership sketch (cache sketch).
 
-    State = a TTL table (key, expires_at_ms) DataFrame + a counting
-    filter over the unexpired keys.  All mutations are DataFrame
-    transformations; ``expire(now)`` is the batch analog of the
-    reference's background expiry queue.
+    State = two tables, mirroring the reference's
+    ``ExpiringBloomFilterMemory`` (cachesketch/ExpiringBloomFilterMemory
+    .java:21-170):
+
+    - ``ttls`` (key, expires_at_ms): the TimeMap of reportRead leases —
+      max-merged on key (TimeMap.putRemaining, TimeMap.java:59-62);
+    - ``writes`` (key, expires_at_ms): the expiration queue — keys whose
+      reportWrite found an unexpired lease, carried in the underlying
+      Bloom filter until their lease expires
+      (ExpirationQueue.java:25-65).
+
+    All mutations are immutable DataFrame transformations; time is an
+    explicit ``now_ms`` argument instead of a background DelayQueue
+    thread, so every reference test scenario replays deterministically.
     """
 
-    def __init__(self, config: FilterConfig, ttl_table: DataFrame):
+    def __init__(
+        self,
+        config: FilterConfig,
+        ttl_table: DataFrame,
+        write_table: Optional[DataFrame] = None,
+        *,
+        expiration_enabled: bool = True,
+    ):
         self.config = config
         # max-merge duplicate keys (reportRead TTL max semantics)
         self.ttls = ttl_table.groupBy("key").agg(
             F.max("expires_at_ms").alias("expires_at_ms")
         )
+        spark = ttl_table.sparkSession
+        if write_table is None:
+            write_table = spark.createDataFrame(
+                [], "key string, expires_at_ms long"
+            )
+        self.writes = write_table
+        self.expiration_enabled = expiration_enabled
+
+    def _with(self, *, ttls=None, writes=None, enabled=None) -> "ExpiringBloomFilter":
+        out = ExpiringBloomFilter.__new__(ExpiringBloomFilter)
+        out.config = self.config
+        out.ttls = self.ttls if ttls is None else ttls
+        out.writes = self.writes if writes is None else writes
+        out.expiration_enabled = (
+            self.expiration_enabled if enabled is None else enabled
+        )
+        return out
 
     @classmethod
     def from_reads(
@@ -77,7 +111,12 @@ class ExpiringBloomFilter:
             key_column(key_col).alias("key"),
             (F.col(ts_col) + F.col(ttl_col)).alias("expires_at_ms"),
         )
-        return ExpiringBloomFilter(self.config, self.ttls.unionByName(extra))
+        merged = (
+            self.ttls.unionByName(extra)
+            .groupBy("key")
+            .agg(F.max("expires_at_ms").alias("expires_at_ms"))
+        )
+        return self._with(ttls=merged)
 
     def unexpired(self, now_ms: int, grace_ms: int = 0) -> DataFrame:
         return self.ttls.where(F.col("expires_at_ms") + grace_ms > now_ms)
@@ -111,9 +150,154 @@ class ExpiringBloomFilter:
     def cleanup_ttls(self, now_ms: int, grace_ms: int) -> "ExpiringBloomFilter":
         """Drop TTLs expired beyond the grace period (cleanupTTLs,
         ExpiringBloomFilterMemory.java:42-52)."""
-        return ExpiringBloomFilter(
-            self.config, self.ttls.where(F.col("expires_at_ms") + grace_ms > now_ms)
+        return self._with(
+            ttls=self.ttls.where(F.col("expires_at_ms") + grace_ms > now_ms)
         )
+
+    # -- write path (the other half of the cache sketch) -------------------
+
+    def report_write(
+        self, writes: DataFrame, key_col: str = "key", ts_col: str = "ts_ms"
+    ) -> "ExpiringBloomFilter":
+        """Report writes: a written key enters the underlying filter IFF
+        it still holds an unexpired read lease at its write timestamp,
+        and stays until that lease expires
+        (ExpiringBloomFilter.java:97-128, reportWrite guard at
+        ExpiringBloomFilterMemory.java:61-72).  ``ts_col`` is the
+        per-row write time — the batch shape of 'now'."""
+        w = writes.select(
+            key_column(key_col).alias("key"), F.col(ts_col).alias("__write_ts")
+        )
+        admitted = (
+            w.join(self.ttls, "key")
+            .where(F.col("expires_at_ms") > F.col("__write_ts"))
+            .select("key", "expires_at_ms")
+        )
+        return self._with(writes=self.writes.unionByName(admitted))
+
+    def report_write_status(
+        self, writes: DataFrame, key_col: str = "key", ts_col: str = "ts_ms"
+    ) -> DataFrame:
+        """(key, remaining_ms or null) — reportWrite's return value: the
+        remaining lease if the write was admitted, null otherwise."""
+        w = writes.select(
+            key_column(key_col).alias("key"), F.col(ts_col).alias("__write_ts")
+        )
+        return w.join(self.ttls, "key", "left").select(
+            "key",
+            F.when(
+                F.col("expires_at_ms") > F.col("__write_ts"),
+                F.col("expires_at_ms") - F.col("__write_ts"),
+            ).alias("remaining_ms"),
+        )
+
+    def cloned_bloom_filter(self, now_ms: int):
+        """The underlying Bloom filter's current contents: written keys
+        whose lease is unexpired (getClonedBloomFilter,
+        ExpiringBloomFilterMemory.java:110-112).  With expiration
+        disabled the queue stops draining, so expired writes REMAIN
+        contained until re-enabled (ExpirationQueue.setEnabled,
+        ExpirationQueue.java:48-65)."""
+        live = (
+            self.writes
+            if not self.expiration_enabled
+            else self.writes.where(F.col("expires_at_ms") > now_ms)
+        )
+        return build_counting(live, "key", self.config).to_bloom_filter()
+
+    def contains(self, keys: DataFrame, key_col: str, now_ms: int) -> DataFrame:
+        """Membership column against the written-and-unexpired set (the
+        reference's filter.contains after reportWrite)."""
+        from .probe import with_membership
+
+        bf = self.cloned_bloom_filter(now_ms)
+        return with_membership(keys, key_col, bf, out_col="contained")
+
+    def soft_clear(self) -> "ExpiringBloomFilter":
+        """Clear the filter + expiration queue but KEEP the TTL map
+        (softClear, ExpiringBloomFilter.java:152,
+        ExpiringBloomFilterMemory.java:120-124)."""
+        spark = self.ttls.sparkSession
+        return self._with(
+            writes=spark.createDataFrame([], "key string, expires_at_ms long")
+        )
+
+    def clear(self) -> "ExpiringBloomFilter":
+        """Clear everything: filter, queue, and TTLs
+        (ExpiringBloomFilterMemory.java:113-118)."""
+        spark = self.ttls.sparkSession
+        empty = spark.createDataFrame([], "key string, expires_at_ms long")
+        return self._with(ttls=empty, writes=empty)
+
+    def set_expiration_enabled(self, enabled: bool) -> "ExpiringBloomFilter":
+        """Pause/resume expiry (setExpirationEnabled,
+        ExpiringBloomFilter.java:136-144)."""
+        return self._with(enabled=enabled)
+
+    def enable_expiration(self) -> "ExpiringBloomFilter":
+        return self.set_expiration_enabled(True)
+
+    def disable_expiration(self) -> "ExpiringBloomFilter":
+        return self.set_expiration_enabled(False)
+
+    # -- map export/import + migration (TimeToLiveMapAware.java:9-21,
+    #    ExpirationMapAware, AbstractExpiringBloomFilterRedis.java:204-227)
+
+    def get_time_to_live_map(self) -> dict:
+        """{key: expires_at_ms} — Arrow collect (small state export)."""
+        pdf = self.ttls.toPandas()
+        return dict(zip(pdf["key"], (int(v) for v in pdf["expires_at_ms"])))
+
+    def set_time_to_live_map(self, mapping: dict) -> "ExpiringBloomFilter":
+        """putAll semantics: imported leases max-merge with existing."""
+        spark = self.ttls.sparkSession
+        extra = spark.createDataFrame(
+            list(mapping.items()), "key string, expires_at_ms long"
+        )
+        merged = (
+            self.ttls.unionByName(extra)
+            .groupBy("key")
+            .agg(F.max("expires_at_ms").alias("expires_at_ms"))
+        )
+        return self._with(ttls=merged)
+
+    def get_expiration_map(self) -> dict:
+        pdf = self.writes.toPandas()
+        return dict(zip(pdf["key"], (int(v) for v in pdf["expires_at_ms"])))
+
+    def set_expiration_map(self, mapping: dict) -> "ExpiringBloomFilter":
+        spark = self.ttls.sparkSession
+        extra = spark.createDataFrame(
+            list(mapping.items()), "key string, expires_at_ms long"
+        )
+        return self._with(writes=self.writes.unionByName(extra))
+
+    def migrate_from(self, other: "ExpiringBloomFilter") -> "ExpiringBloomFilter":
+        """Merge another expiring filter's whole state in (migrateFrom,
+        ExpiringBloomFilterMemory.java:126-146): TTL map max-merges,
+        expiration queues union."""
+        if not self.config.is_compatible_to(other.config):
+            raise ValueError("migration source is not compatible")
+        merged_ttls = (
+            self.ttls.unionByName(other.ttls)
+            .groupBy("key")
+            .agg(F.max("expires_at_ms").alias("expires_at_ms"))
+        )
+        return self._with(
+            ttls=merged_ttls, writes=self.writes.unionByName(other.writes)
+        )
+
+    def is_cached(self, keys: DataFrame, key_col: str, now_ms: int) -> DataFrame:
+        """(key, cached) — isCached: an unexpired read lease exists
+        (ExpiringBloomFilter.java:24-27)."""
+        return self.remaining_ttl(keys, key_col, now_ms).select(
+            "key", F.col("remaining_ms").isNotNull().alias("cached")
+        )
+
+    def estimated_population(self) -> int:
+        """Number of tracked leases (getEstimatedPopulation override,
+        ExpiringBloomFilterMemory.java:105-108)."""
+        return self.ttls.count()
 
 
 def streaming_bloom_build(

@@ -75,6 +75,171 @@ def test_is_known_column(spark):
     assert got == {"a": True, "b": False, "c": False}
 
 
+# ---------------------------------------------------------------------------
+# write path — pytest mirror of ExpiringTest.java:100-230, 245-380, 594-662
+# ---------------------------------------------------------------------------
+
+
+def _keys(spark, *ks):
+    return spark.createDataFrame([(k,) for k in ks], "key string")
+
+
+def _writes(spark, rows):
+    return spark.createDataFrame(rows, "key string, ts_ms long")
+
+
+def test_write_before_read_not_admitted(spark):
+    """ExpiringTest.testAddMultipleTimes:100-116: a write with no live
+    lease returns null/false and is NOT contained; later reads extend
+    the TTL to the max."""
+    ebf = ExpiringBloomFilter.from_reads(_reads(spark, []), CFG)
+    status = ebf.report_write_status(_writes(spark, [("1", 0)]))
+    assert status.collect()[0]["remaining_ms"] is None
+    ebf = ebf.report_write(_writes(spark, [("1", 0)]))
+    # reads at t=10 with ttls 100/800/1500/20 -> lease = 10+1500
+    ebf = ebf.report_read(
+        _reads(spark, [("1", 10, 100), ("1", 10, 800), ("1", 10, 1500), ("1", 10, 20)])
+    )
+    got = ebf.remaining_ttl(_keys(spark, "1"), "key", now_ms=10).collect()[0]
+    assert got["remaining_ms"] == 1500
+    contained = ebf.contains(_keys(spark, "1"), "key", now_ms=10).collect()[0]
+    assert contained["contained"] is False
+
+
+def test_expiration_lifecycle(spark):
+    """ExpiringTest.testExpiration:118-141: write during a live lease is
+    admitted for the lease remainder; after expiry contains() is False
+    and the TTL is null."""
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("1", 0, 50), ("1", 0, 100)]), CFG
+    )
+    status = {r["key"]: r["remaining_ms"]
+              for r in ebf.report_write_status(_writes(spark, [("1", 0)])).collect()}
+    assert status["1"] == 100
+    ebf = ebf.report_write(_writes(spark, [("1", 0)]))
+    assert ebf.contains(_keys(spark, "1"), "key", now_ms=0).collect()[0]["contained"]
+    assert ebf.estimated_population() == 1
+    # t=30: still cached, remaining 70
+    got = ebf.remaining_ttl(_keys(spark, "1"), "key", now_ms=30).collect()[0]
+    assert got["remaining_ms"] == 70
+    # t=180: lease gone -> not contained, ttl null
+    got = ebf.remaining_ttl(_keys(spark, "1"), "key", now_ms=180).collect()[0]
+    assert got["remaining_ms"] is None
+    assert not ebf.contains(_keys(spark, "1"), "key", now_ms=180).collect()[0]["contained"]
+
+
+def test_grace_period_write_path(spark):
+    """ExpiringTest.testGracePeriod:143-176: a write AFTER lease expiry
+    is rejected; the key stays known through the grace period and
+    cleanup honours it."""
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("1", 0, 500), ("1", 0, 700)]), CFG
+    )
+    k = _keys(spark, "1")
+    assert ebf.is_known(k, "key", now_ms=0, grace_ms=2000).collect()[0]["known"]
+    assert ebf.is_cached(k, "key", now_ms=0).collect()[0]["cached"]
+    # write at t=1000 (lease expired at 700)
+    assert ebf.report_write_status(_writes(spark, [("1", 1000)])).collect()[0][
+        "remaining_ms"] is None
+    ebf = ebf.report_write(_writes(spark, [("1", 1000)]))
+    assert not ebf.contains(k, "key", now_ms=1000).collect()[0]["contained"]
+    assert not ebf.is_cached(k, "key", now_ms=1000).collect()[0]["cached"]
+    assert ebf.is_known(k, "key", now_ms=1000, grace_ms=2000).collect()[0]["known"]
+    # cleanup before grace expiry keeps the lease record
+    kept = ebf.cleanup_ttls(now_ms=1000, grace_ms=2000)
+    assert kept.is_known(k, "key", now_ms=1000, grace_ms=2000).collect()[0]["known"]
+    # cleanup after grace expiry drops it
+    dropped = ebf.cleanup_ttls(now_ms=3000, grace_ms=2000)
+    assert not dropped.is_known(k, "key", now_ms=3000, grace_ms=2000).collect()[0]["known"]
+    assert dropped.estimated_population() == 0
+
+
+def test_clone_isolation_and_bulk_writes(spark):
+    """ExpiringTest.testClone:228-243 + testReportMultipleWrites:245-254:
+    a cloned filter is isolated from later writes; bulk writes admit
+    every leased key."""
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("1", 0, 50), ("2", 0, 50)]), CFG
+    )
+    ebf1 = ebf.report_write(_writes(spark, [("1", 0)]))
+    bf = ebf1.cloned_bloom_filter(now_ms=0)
+    ebf2 = ebf1.report_write(_writes(spark, [("2", 0)]))
+    assert bf.contains("1") and not bf.contains("2")
+    both = ebf.report_write(_writes(spark, [("1", 0), ("2", 0)]))
+    got = {r["key"]: r["contained"]
+           for r in both.contains(_keys(spark, "1", "2"), "key", now_ms=0).collect()}
+    assert got == {"1": True, "2": True}
+
+
+def test_clear_and_soft_clear(spark):
+    """ExpiringTest.testClear:256-275 + softClear (ExpiringBloomFilter
+    .java:152): clear drops filter AND TTLs; softClear drops only the
+    filter/queue."""
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("1", 0, 50), ("2", 0, 50)]), CFG
+    ).report_write(_writes(spark, [("1", 0)]))
+    k = _keys(spark, "1", "2")
+    soft = ebf.soft_clear()
+    assert not any(
+        r["contained"] for r in soft.contains(k, "key", now_ms=0).collect()
+    )
+    # TTLs survive a soft clear -> a re-write is admitted again
+    re = soft.report_write(_writes(spark, [("1", 0)]))
+    assert re.contains(_keys(spark, "1"), "key", 0).collect()[0]["contained"]
+    hard = ebf.clear()
+    assert hard.estimated_population() == 0
+    assert hard.remaining_ttl(_keys(spark, "1"), "key", 0).collect()[0][
+        "remaining_ms"] is None
+
+
+def test_expiration_enable_disable(spark):
+    """ExpirationQueue.setEnabled (java:48-65): disabling expiry freezes
+    the filter contents past the lease; re-enabling resumes expiry."""
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("1", 0, 100)]), CFG
+    ).report_write(_writes(spark, [("1", 0)]))
+    k = _keys(spark, "1")
+    frozen = ebf.disable_expiration()
+    assert frozen.contains(k, "key", now_ms=500).collect()[0]["contained"]
+    resumed = frozen.enable_expiration()
+    assert not resumed.contains(k, "key", now_ms=500).collect()[0]["contained"]
+
+
+def test_ttl_map_migration_matrix(spark):
+    """ExpiringTest.java:594-662 migration matrix: TTL + expiration maps
+    export/import and whole-state migrate_from preserve remaining TTLs
+    and written state."""
+    src = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("a", 0, 1000), ("b", 0, 2000)]), CFG
+    ).report_write(_writes(spark, [("a", 10)]))
+    ttl_map = src.get_time_to_live_map()
+    exp_map = src.get_expiration_map()
+    assert ttl_map == {"a": 1000, "b": 2000}
+    assert exp_map == {"a": 1000}
+    # import into a fresh filter
+    dst = ExpiringBloomFilter.from_reads(_reads(spark, []), CFG)
+    dst = dst.set_time_to_live_map(ttl_map).set_expiration_map(exp_map)
+    assert dst.get_time_to_live_map() == ttl_map
+    assert dst.contains(_keys(spark, "a"), "key", now_ms=10).collect()[0]["contained"]
+    # whole-state migration max-merges leases
+    other = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("b", 0, 5000), ("c", 0, 100)]), CFG
+    ).report_write(_writes(spark, [("c", 0)]))
+    merged = dst.migrate_from(other)
+    assert merged.get_time_to_live_map() == {"a": 1000, "b": 5000, "c": 100}
+    got = {r["key"]: r["contained"]
+           for r in merged.contains(_keys(spark, "a", "b", "c"), "key", 10).collect()}
+    assert got == {"a": True, "b": False, "c": True}
+    # incompatible config is rejected
+    import pytest as _pytest
+
+    bad = ExpiringBloomFilter.from_reads(
+        _reads(spark, []), FilterConfig.complete(n=50, p=0.1)
+    )
+    with _pytest.raises(ValueError):
+        merged.migrate_from(bad)
+
+
 def test_streaming_incremental_build(spark, tmp_path):
     """rate-source stream -> foreachBatch incremental filter; the merged
     checkpoint must contain every streamed key."""
