@@ -195,6 +195,74 @@ def q_hash_golden_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "key string, position bigint")
 
 
+def q_hash_goldens_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden positions of foo/bar at (m=8143, k=3) for ALL 14
+    HashProvider methods (HashProvider.java:411-493).  The MD5 values
+    are a subset of the reference-derived k=6 goldens
+    (CountingBloomFilterMemoryTest.java:71-133); the rest freeze this
+    repo's Java-parity implementations (each independently covered by
+    tests/test_hashing.py: Guava murmur vectors, RFC1319 MD2, chi²
+    uniformity) against regression."""
+    from bloomspark.hashing import _REGISTRY, hash_positions
+
+    rows = []
+    for meth in sorted(_REGISTRY):
+        for key in ("foo", "bar"):
+            for pos in sorted(hash_positions([key], 8143, 3, meth)[0].tolist()):
+                rows.append((meth, key, int(pos)))
+    return spark.createDataFrame(rows, "method string, key string, position bigint")
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON serde round-trip (json/BloomFilterConverter.java:22-83):
+    build -> toJson {m,h,b} -> fromJson -> probe.  Probe results after
+    the round-trip must equal direct membership (byte-identity is also
+    asserted in pytest; the driver gate sees the semantic equality)."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    open_orders = orders.where(F.col("o_orderstatus") == "O")
+    cfg = FilterConfig.complete(n=max(open_orders.count(), 1), p=EXACT_P)
+    bf = build_bloom(open_orders, "o_custkey", cfg)
+    restored = BloomFilter.from_json(bf.to_json())
+    return (
+        with_membership(customer, "c_custkey", restored, out_col="member")
+        .select("c_custkey", "member")
+    )
+
+
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume equivalence (checkpoint.py; the reference's
+    named persistence + load-or-create, redis/helper/RedisKeys.java:35-57):
+    phase 1 builds only half the buckets (simulated kill), phase 2
+    resumes over the full input; the resumed filter must be
+    byte-identical to a cold build and probe exactly."""
+    import shutil
+    import tempfile
+
+    from bloomspark.checkpoint import build_bloom_checkpointed
+
+    orders = _read(spark, sf_dir, "orders")
+    cfg = FilterConfig.complete(n=max(orders.count(), 1), p=EXACT_P)
+    d = tempfile.mkdtemp(prefix="bloomspark_ckpt_")
+    try:
+        partial = orders.where(
+            F.pmod(F.xxhash64(F.col("o_custkey").cast("string")), F.lit(8)).isin(
+                [0, 1, 2]
+            )
+        )
+        build_bloom_checkpointed(partial, "o_custkey", cfg, d, num_buckets=8)
+        resumed = build_bloom_checkpointed(orders, "o_custkey", cfg, d, num_buckets=8)
+        cold = build_bloom(orders, "o_custkey", cfg)
+        identical = resumed.to_bytes() == cold.to_bytes()
+        customer = _read(spark, sf_dir, "customer")
+        probed = with_membership(customer, "c_custkey", resumed, out_col="member")
+        return probed.select(
+            "c_custkey", "member", F.lit(bool(identical)).alias("resume_byte_identical")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant (BASELINE.json input_hint): sha2(content, 256)
     over the documents text column, Spark vs DuckDB byte-for-byte."""
@@ -239,11 +307,30 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed corpus for the simhash driver oracle.  The expected pairs below
+#: were verified against an independent all-pairs exact-hamming oracle
+#: (the banded pigeonhole pipeline found exactly the same set — the same
+#: check tests/test_pipeline.py::test_simhash_near_dups runs on every
+#: pytest pass), then frozen as VALUES so the driver gate value-matches.
+_SIMHASH_CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3, "a bloom filter is a space efficient probabilistic data structure"),
+    (4, "a bloom filter is a space efficient probabilistic set structure"),
+    (5, "completely unrelated content about cooking pasta with tomato sauce"),
+    (6, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (7, "spark executes declarative dataframe plans with whole stage codegen"),
+    (8, "spark executes declarative dataframe plans with whole stage compilation"),
+]
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups within hamming 8."""
+    """SimHash near-dups within hamming 8 over a fixed corpus — the full
+    banded pigeonhole pipeline (simhash_near_dups), value-matched
+    against frozen golden pairs."""
     from bloomspark.pipeline import simhash_near_dups
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = spark.createDataFrame(_SIMHASH_CORPUS, "doc_id long, text string")
     return simhash_near_dups(docs, max_hamming=8).select("id_a", "id_b", "hamming")
 
 
@@ -289,11 +376,19 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprints over normalized text (rows-only check)."""
+    """Rolling-hash fingerprint dedup groups: documents sharing a
+    fingerprint are exactly the documents sharing normalized text
+    (lowercase + collapsed whitespace) — a REAL oracle, since DuckDB can
+    group by the normalization even though it cannot compute the hash."""
     from bloomspark.pipeline import with_fingerprint
 
     docs = _read(spark, sf_dir, "documents")
-    return with_fingerprint(docs).select("doc_id", "fingerprint")
+    return (
+        with_fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
 
 
 def q_events_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "population_estimate": q_population_estimate,
         "fpp_bound": q_fpp_bound,
         "hash_golden_md5": q_hash_golden_md5,
+        "hash_goldens_all": q_hash_goldens_all,
+        "json_roundtrip": q_json_roundtrip,
+        "checkpoint_resume": q_checkpoint_resume,
         "sha_invariant": q_sha_invariant,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -447,6 +545,62 @@ def oracle_sql() -> dict[str, str]:
                 ('bar', 1770), ('bar', 2285), ('bar', 2861),
                 ('bar', 4742), ('bar', 5431), ('bar', 7745)
             ) AS t(key, position)
+        """,
+        "hash_goldens_all": """
+            SELECT method, key, CAST(position AS BIGINT) AS position FROM (VALUES
+                ('Adler32', 'foo', 3443), ('Adler32', 'foo', 4229), ('Adler32', 'foo', 5015),
+                ('Adler32', 'bar', 116), ('Adler32', 'bar', 902), ('Adler32', 'bar', 7473),
+                ('CRC32', 'foo', 6302), ('CRC32', 'foo', 6836), ('CRC32', 'foo', 7443),
+                ('CRC32', 'bar', 1119), ('CRC32', 'bar', 1308), ('CRC32', 'bar', 2713),
+                ('CarterWegman', 'foo', 566), ('CarterWegman', 'foo', 4623), ('CarterWegman', 'foo', 6178),
+                ('CarterWegman', 'bar', 3157), ('CarterWegman', 'bar', 3759), ('CarterWegman', 'bar', 4762),
+                ('FNVWithLCG', 'foo', 3845), ('FNVWithLCG', 'foo', 5687), ('FNVWithLCG', 'foo', 6896),
+                ('FNVWithLCG', 'bar', 4232), ('FNVWithLCG', 'bar', 7728), ('FNVWithLCG', 'bar', 7808),
+                ('MD2', 'foo', 1208), ('MD2', 'foo', 2081), ('MD2', 'foo', 5216),
+                ('MD2', 'bar', 3905), ('MD2', 'bar', 6153), ('MD2', 'bar', 7011),
+                ('MD5', 'foo', 4918), ('MD5', 'foo', 6341), ('MD5', 'foo', 7596),
+                ('MD5', 'bar', 2285), ('MD5', 'bar', 4742), ('MD5', 'bar', 5431),
+                ('Murmur2', 'foo', 926), ('Murmur2', 'foo', 1743), ('Murmur2', 'foo', 1747),
+                ('Murmur2', 'bar', 5321), ('Murmur2', 'bar', 6407), ('Murmur2', 'bar', 6630),
+                ('Murmur3', 'foo', 1045), ('Murmur3', 'foo', 1496), ('Murmur3', 'foo', 7596),
+                ('Murmur3', 'bar', 387), ('Murmur3', 'bar', 2773), ('Murmur3', 'bar', 6820),
+                ('Murmur3KirschMitzenmacher', 'foo', 947), ('Murmur3KirschMitzenmacher', 'foo', 3496),
+                ('Murmur3KirschMitzenmacher', 'foo', 6045), ('Murmur3KirschMitzenmacher', 'bar', 1450),
+                ('Murmur3KirschMitzenmacher', 'bar', 4223), ('Murmur3KirschMitzenmacher', 'bar', 6820),
+                ('RNG', 'foo', 2317), ('RNG', 'foo', 3477), ('RNG', 'foo', 5586),
+                ('RNG', 'bar', 1560), ('RNG', 'bar', 6559), ('RNG', 'bar', 7970),
+                ('SHA1', 'foo', 3595), ('SHA1', 'foo', 3647), ('SHA1', 'foo', 6829),
+                ('SHA1', 'bar', 960), ('SHA1', 'bar', 3426), ('SHA1', 'bar', 5566),
+                ('SHA256', 'foo', 1580), ('SHA256', 'foo', 6682), ('SHA256', 'foo', 7585),
+                ('SHA256', 'bar', 4446), ('SHA256', 'bar', 5835), ('SHA256', 'bar', 7932),
+                ('SHA384', 'foo', 408), ('SHA384', 'foo', 2302), ('SHA384', 'foo', 8063),
+                ('SHA384', 'bar', 4372), ('SHA384', 'bar', 7211), ('SHA384', 'bar', 7380),
+                ('SHA512', 'foo', 411), ('SHA512', 'foo', 5591), ('SHA512', 'foo', 7159),
+                ('SHA512', 'bar', 2477), ('SHA512', 'bar', 2673), ('SHA512', 'bar', 3288)
+            ) AS t(method, key, position)
+        """,
+        "json_roundtrip": """
+            SELECT c_custkey,
+                   c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+                       AS member
+            FROM customer
+        """,
+        "checkpoint_resume": """
+            SELECT c_custkey,
+                   c_custkey IN (SELECT o_custkey FROM orders) AS member,
+                   true AS resume_byte_identical
+            FROM customer
+        """,
+        "simhash_dups": """
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(hamming AS BIGINT) AS hamming
+            FROM (VALUES (1, 2, 4), (1, 6, 0), (2, 6, 4), (3, 4, 5))
+                 AS t(id_a, id_b, hamming)
+        """,
+        "fingerprints": """
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
         """,
         "sha_invariant": """
             SELECT doc_id, sha256(text) AS sha FROM documents

@@ -1,0 +1,39 @@
+"""Distributed approximate-aggregation sketches (the north-rule family
+beyond Bloom: HLL, count-min, t-digest, KLL).
+
+Every sketch follows the same Spark shape as the Bloom builds
+(build.py): one ``mapInArrow`` pass producing a single binary partial
+per partition, an optional executor tree-merge, and an associative
+driver merge — a mergeable vectorized UDAF realized over Arrow batches,
+with per-partition lineage identical to the Bloom path.  Hashing reuses
+the repo's vectorized Murmur3 (no per-row Python anywhere).
+
+Accuracy contracts (asserted in tests/test_sketches.py against exact
+answers, and in the driver oracle gate against DuckDB):
+
+- HyperLogLog: relative error ~1.04/sqrt(2^p) on count-distinct
+  (Flajolet et al. 2007), merge = register max (idempotent).
+- Count-min: estimate >= true count, excess <= eps*N with high
+  probability (Cormode & Muthukrishnan 2005), merge = counter add.
+- t-digest: rank-accurate quantiles, tighter at the tails (Dunning &
+  Ertl, "Computing extremely accurate quantiles using t-digests"),
+  merge = centroid merge + recompress.
+- KLL: uniform rank error O(1/k) quantiles (Karnin, Lang, Liberty
+  2016), merge = level-wise concat + compaction.
+"""
+
+from .engine import SketchHandle, build_sketch, build_sketch_checkpointed
+from .hll import HyperLogLog
+from .cms import CountMinSketch
+from .tdigest import TDigest
+from .kll import KLLSketch
+
+__all__ = [
+    "HyperLogLog",
+    "CountMinSketch",
+    "TDigest",
+    "KLLSketch",
+    "SketchHandle",
+    "build_sketch",
+    "build_sketch_checkpointed",
+]
