@@ -273,6 +273,129 @@ def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sketch-library queries (north rule: HLL / CMS / t-digest / KLL over the
+# source-code table shape) — bloomspark/sketches/, bloomspark/sources/
+# ---------------------------------------------------------------------------
+
+#: Size of the synthetic source-code table used by the code_* queries;
+#: the DuckDB oracle regenerates the identical table from range(N).
+_CODE_N = 20_000
+
+
+def q_code_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule input shape + per-row invariant: the deterministic
+    (repo, path, commit, lang, content) source-code table, with
+    sha2(content, 256) matched row-for-row against DuckDB regenerating
+    the same table from range(N) (BASELINE.json input_hint)."""
+    from bloomspark.sources import source_code_table
+
+    df = source_code_table(spark, _CODE_N, partitions=16)
+    return df.select("repo", "path", "commit", F.sha2("content", 256).alias("sha"))
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL count-distinct over the code table's content shas: estimate
+    within 3 standard errors (1.04/sqrt(2^14)) of exact."""
+    from bloomspark.sketches import HyperLogLog, build_sketch
+    from bloomspark.sources import source_code_table
+
+    df = source_code_table(spark, _CODE_N, partitions=16).select(
+        F.sha2("content", 256).alias("sha")
+    )
+    h = build_sketch(df, "sha", HyperLogLog(p=14))
+    exact = df.distinct().count()
+    within = abs(h.estimate() - exact) / max(exact, 1) < 3 * 1.04 / (2**7)
+    return spark.createDataFrame(
+        [("content_sha", exact, bool(within))],
+        "key_col string, exact_distinct bigint, within_3sigma boolean",
+    )
+
+
+def q_cms_repo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min per-repo file counts: estimate >= exact always, and
+    within the eps*N bound (checked per repo; exact counts value-matched
+    against the SQL GROUP BY)."""
+    import numpy as np
+
+    from bloomspark.sketches import CountMinSketch, build_sketch
+    from bloomspark.sources import source_code_table
+
+    df = source_code_table(spark, _CODE_N, partitions=16)
+    cms = CountMinSketch(width=1 << 14, depth=5)
+    h = build_sketch(df, "repo", cms)
+    exact = df.groupBy("repo").agg(F.count("*").alias("exact_count"))
+    pdf = exact.toPandas()
+    est = cms.estimate(h.state, list(pdf["repo"]))
+    bound = cms.error_bound(h.state)
+    pdf["ge_exact"] = est >= pdf["exact_count"].to_numpy()
+    pdf["within_eps"] = est <= pdf["exact_count"].to_numpy() + max(bound, 1)
+    return spark.createDataFrame(pdf).select(
+        "repo",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        "ge_exact",
+        "within_eps",
+    )
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles of lineitem.l_extendedprice: the exact
+    quantile is value-matched against DuckDB's quantile_cont, and the
+    sketch estimate must sit within 1% RANK error of the target."""
+    from bloomspark.sketches import TDigest, build_sketch
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    h = build_sketch(lineitem.repartition(16), "l_extendedprice", TDigest(delta=200))
+    n = h.total_weight()
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    exact = (
+        lineitem.agg(
+            F.expr(
+                "percentile(l_extendedprice, array({}))".format(
+                    ",".join(str(q) for q in qs)
+                )
+            ).alias("p")
+        ).first()["p"]
+    )
+    rows = []
+    for q, ex in zip(qs, exact):
+        est = h.quantile(q)
+        rank_est = lineitem.where(F.col("l_extendedprice") <= est).count() / n
+        rows.append((q, round(float(ex), 6), bool(abs(rank_est - q) < 0.01)))
+    return spark.createDataFrame(
+        rows, "q double, exact_quantile double, within_rank_eps boolean"
+    )
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles of lineitem.l_extendedprice: exact quantiles
+    value-matched vs DuckDB; sketch estimates within the O(1/k) rank
+    bound (k=256, slack 3/k + 1%)."""
+    from bloomspark.sketches import KLLSketch, build_sketch
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    h = build_sketch(lineitem.repartition(16), "l_extendedprice", KLLSketch(k=256))
+    n = lineitem.count()
+    qs = [0.05, 0.5, 0.95]
+    exact = (
+        lineitem.agg(
+            F.expr(
+                "percentile(l_extendedprice, array({}))".format(
+                    ",".join(str(q) for q in qs)
+                )
+            ).alias("p")
+        ).first()["p"]
+    )
+    rows = []
+    for q, ex in zip(qs, exact):
+        est = h.quantile(q)
+        rank_est = lineitem.where(F.col("l_extendedprice") <= est).count() / n
+        rows.append((q, round(float(ex), 6), bool(abs(rank_est - q) < 3.0 / 256 + 0.01)))
+    return spark.createDataFrame(
+        rows, "q double, exact_quantile double, within_rank_eps boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings tables)
 # ---------------------------------------------------------------------------
 
@@ -474,6 +597,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": q_json_roundtrip,
         "checkpoint_resume": q_checkpoint_resume,
         "sha_invariant": q_sha_invariant,
+        "code_sha_invariant": q_code_sha_invariant,
+        "hll_distinct": q_hll_distinct,
+        "cms_repo_counts": q_cms_repo_counts,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "kll_quantiles": q_kll_quantiles,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
@@ -490,7 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from bloomspark.sources import CODE_TABLE_SQL
+
+    sqls = {
         "bloom_membership": """
             SELECT c_custkey,
                    c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
@@ -604,6 +734,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sha_invariant": """
             SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+        "code_sha_invariant": """
+            WITH code AS ({code_table})
+            SELECT repo, path, commit, sha256(content) AS sha FROM code
+        """,
+        "hll_distinct": """
+            WITH code AS ({code_table})
+            SELECT 'content_sha' AS key_col,
+                   count(DISTINCT sha256(content)) AS exact_distinct,
+                   true AS within_3sigma
+            FROM code
+        """,
+        "cms_repo_counts": """
+            WITH code AS ({code_table})
+            SELECT repo, count(*) AS exact_count,
+                   true AS ge_exact, true AS within_eps
+            FROM code GROUP BY repo
+        """,
+        "tdigest_quantiles": """
+            SELECT CAST(0.01 AS DOUBLE) AS q,
+                   round(quantile_cont(l_extendedprice, 0.01), 6) AS exact_quantile,
+                   true AS within_rank_eps
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS exact_quantile,
+                   true AS within_rank_eps
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_quantile,
+                   true AS within_rank_eps
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.75 AS DOUBLE) AS q,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS exact_quantile,
+                   true AS within_rank_eps
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE) AS q,
+                   round(quantile_cont(l_extendedprice, 0.99), 6) AS exact_quantile,
+                   true AS within_rank_eps
+            FROM lineitem
+        """,
+        "kll_quantiles": """
+            SELECT CAST(0.05 AS DOUBLE) AS q,
+                   round(quantile_cont(l_extendedprice, 0.05), 6) AS exact_quantile,
+                   true AS within_rank_eps
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_quantile,
+                   true AS within_rank_eps
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.95 AS DOUBLE) AS q,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_quantile,
+                   true AS within_rank_eps
+            FROM lineitem
         """,
         "dedup_exact": """
             SELECT md5(text) AS digest,
@@ -771,3 +960,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY cos DESC, id ASC LIMIT 10
         """,
     }
+    code = CODE_TABLE_SQL(_CODE_N)
+    for k in ("code_sha_invariant", "hll_distinct", "cms_repo_counts"):
+        sqls[k] = sqls[k].replace("{code_table}", code)
+    return sqls

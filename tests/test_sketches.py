@@ -1,0 +1,176 @@
+"""Distributed sketch builds (HLL / CMS / t-digest / KLL): error bounds
+vs exact answers, merge associativity / partition invariance, and
+checkpoint-resume — over the real testdata tables and the synthetic
+source-code table (FIXTURES.md-style deterministic inputs)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomspark.sketches import (
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    TDigest,
+    build_sketch,
+    build_sketch_checkpointed,
+)
+from bloomspark.sources import source_code_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet").cache()
+
+
+def test_hll_distinct_within_bound(spark, lineitem):
+    h = build_sketch(lineitem.repartition(8), "l_orderkey", HyperLogLog(p=14))
+    exact = lineitem.select("l_orderkey").distinct().count()
+    est = h.estimate()
+    assert abs(est - exact) / exact < 3 * 1.04 / np.sqrt(2**14)
+    assert h.rows == lineitem.count()
+
+
+def test_hll_partition_invariance(spark, lineitem):
+    """The merged registers must be IDENTICAL regardless of
+    partitioning — merge is max, a lattice join."""
+    a = build_sketch(lineitem.repartition(3), "l_orderkey", HyperLogLog(p=12))
+    b = build_sketch(lineitem.repartition(17), "l_orderkey", HyperLogLog(p=12))
+    assert np.array_equal(a.state, b.state)
+
+
+def test_cms_counts_bounded(spark, lineitem):
+    cms = CountMinSketch(width=1 << 15, depth=5)
+    h = build_sketch(lineitem.repartition(8), "l_partkey", cms)
+    exact = {
+        r["l_partkey"]: r["cnt"]
+        for r in lineitem.groupBy("l_partkey").agg(F.count("*").alias("cnt")).collect()
+    }
+    keys = [str(k) for k in exact]
+    est = cms.estimate(h.state, keys)
+    true = np.array([exact[k] for k in exact], dtype=np.int64)
+    assert (est >= true).all()  # never under-counts, guaranteed
+    assert (est <= true + max(h.sketch.error_bound(h.state), 1)).all()
+
+
+def test_cms_partition_invariance(spark, lineitem):
+    cms = CountMinSketch(width=1 << 12, depth=4)
+    a = build_sketch(lineitem.repartition(3), "l_partkey", cms)
+    b = build_sketch(lineitem.repartition(13), "l_partkey", cms)
+    assert np.array_equal(a.state, b.state)  # add is exact: same totals
+
+
+def test_tdigest_quantiles(spark, lineitem):
+    td = TDigest(delta=200)
+    h = build_sketch(lineitem.repartition(8), "l_extendedprice", td)
+    vals = np.array(
+        [r[0] for r in lineitem.select("l_extendedprice").collect()], dtype=np.float64
+    )
+    n = len(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = h.quantile(q)
+        rank_err = abs((vals <= est).sum() / n - q)
+        assert rank_err < 0.01, f"q={q}: rank error {rank_err}"
+    assert h.total_weight() == n
+
+
+def test_kll_quantiles(spark, lineitem):
+    kll = KLLSketch(k=256)
+    h = build_sketch(lineitem.repartition(8), "l_extendedprice", kll)
+    vals = np.array(
+        [r[0] for r in lineitem.select("l_extendedprice").collect()], dtype=np.float64
+    )
+    n = len(vals)
+    for q in (0.05, 0.5, 0.95):
+        est = h.quantile(q)
+        rank_err = abs((vals <= est).sum() / n - q)
+        assert rank_err < 3.0 / 256 + 0.01, f"q={q}: rank error {rank_err}"
+
+
+def test_sketch_checkpoint_resume(spark, lineitem, tmp_path):
+    """Kill-and-resume: phase 1 sees only part of the input (simulated
+    mid-build kill via pre-filtered buckets), phase 2 completes; the
+    resumed HLL equals the cold build REGISTER-FOR-REGISTER."""
+    d = str(tmp_path / "hll_ck")
+    hll = HyperLogLog(p=12)
+    partial = lineitem.where(
+        F.pmod(F.xxhash64(F.col("l_orderkey").cast("string")), F.lit(8)).isin([0, 1])
+    )
+    build_sketch_checkpointed(partial, "l_orderkey", hll, d, num_buckets=8)
+    resumed = build_sketch_checkpointed(lineitem, "l_orderkey", hll, d, num_buckets=8)
+    cold = build_sketch(lineitem, "l_orderkey", HyperLogLog(p=12))
+    assert np.array_equal(resumed.state, cold.state)
+    # wrong num_buckets / different sketch config is rejected
+    with pytest.raises(ValueError):
+        build_sketch_checkpointed(lineitem, "l_orderkey", hll, d, num_buckets=4)
+    with pytest.raises(ValueError):
+        build_sketch_checkpointed(
+            lineitem, "l_orderkey", HyperLogLog(p=11), d, num_buckets=8
+        )
+
+
+def test_cms_checkpoint_no_double_count(spark, lineitem, tmp_path):
+    """The non-idempotent sketch: resume must not double-count rows in
+    already-done buckets (ADVICE round-1 counting-checkpoint bug class)."""
+    d = str(tmp_path / "cms_ck")
+    cms = CountMinSketch(width=1 << 12, depth=4)
+    partial = lineitem.where(
+        F.pmod(F.xxhash64(F.col("l_partkey").cast("string")), F.lit(8)).isin([0, 1, 2])
+    )
+    build_sketch_checkpointed(partial, "l_partkey", cms, d, num_buckets=8)
+    resumed = build_sketch_checkpointed(lineitem, "l_partkey", cms, d, num_buckets=8)
+    cold = build_sketch(lineitem, "l_partkey", CountMinSketch(width=1 << 12, depth=4))
+    assert np.array_equal(resumed.state, cold.state)
+
+
+def test_tree_merge_equivalence(spark, lineitem):
+    """Forcing the executor tree merge must not change any result
+    (associativity)."""
+    h1 = build_sketch(
+        lineitem.repartition(16), "l_orderkey", HyperLogLog(p=12),
+        tree_merge_threshold=4,
+    )
+    h2 = build_sketch(lineitem.repartition(16), "l_orderkey", HyperLogLog(p=12))
+    assert np.array_equal(h1.state, h2.state)
+
+
+# ---------------------------------------------------------------------------
+# source-code table (north-rule input shape)
+# ---------------------------------------------------------------------------
+
+
+def test_source_code_table_deterministic(spark):
+    df = source_code_table(spark, 1000, partitions=8)
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+    assert df.count() == 1000
+    # deterministic across partitionings
+    a = sorted(tuple(r) for r in source_code_table(spark, 100, partitions=2).collect())
+    b = sorted(tuple(r) for r in source_code_table(spark, 100, partitions=7).collect())
+    assert a == b
+    # skew: repo-0 holds ~1/4 + 1/97 of all files
+    hot = df.where(F.col("repo") == "repo-0").count()
+    assert hot > 1000 // 4
+
+
+def test_source_code_sha_and_sketches(spark):
+    """The full north-rule pass at toy scale: deterministic code table ->
+    content sha256 per row -> HLL distinct-content estimate within
+    bound, CMS per-repo file counts bounded, exact distinct as truth."""
+    df = source_code_table(spark, 5000, partitions=16).withColumn(
+        "sha", F.sha2(F.col("content"), 256)
+    )
+    exact = df.select("sha").distinct().count()
+    h = build_sketch(df, "sha", HyperLogLog(p=14))
+    assert abs(h.estimate() - exact) / exact < 3 * 1.04 / np.sqrt(2**14)
+    cms = CountMinSketch(width=1 << 14, depth=5)
+    c = build_sketch(df, "repo", cms)
+    repo_counts = {
+        r["repo"]: r["cnt"]
+        for r in df.groupBy("repo").agg(F.count("*").alias("cnt")).collect()
+    }
+    est = cms.estimate(c.state, list(repo_counts))
+    true = np.array(list(repo_counts.values()))
+    assert (est >= true).all()
+    assert (est - true).max() <= cms.error_bound(c.state) + 1
