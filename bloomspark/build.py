@@ -85,7 +85,8 @@ PARTIAL_SCHEMA = (
 BOOL_SCATTER_LIMIT = 1 << 31
 #: Partials switch to a dense bitset once the accumulated distinct
 #: positions would serialize larger than the bitset itself.  Positions are
-#: uint32 on the wire (m is capped at Java int for reference parity).
+#: uint32 on the wire under the Java-int parity cap, uint64 beyond it
+#: (extended mode; wire kind 'sparse64').
 _SPARSE_POS_BYTES = 4
 
 COUNTING_PARTIAL_SCHEMA = (
@@ -162,7 +163,7 @@ class _PositionAccumulator:
     keeps per-partition work sane at 10^9-bit filters where each
     partition touches a tiny fraction of the bits."""
 
-    __slots__ = ("m", "num_bytes", "chunks", "count", "seen")
+    __slots__ = ("m", "num_bytes", "chunks", "count", "seen", "pos_bytes")
 
     def __init__(self, m: int, num_bytes: int):
         self.m = m
@@ -170,6 +171,8 @@ class _PositionAccumulator:
         self.chunks = []
         self.count = 0
         self.seen = None  # dense bool array once triggered
+        # extended mode (m past the Java-int cap) carries uint64 positions
+        self.pos_bytes = 8 if m > 0x7FFFFFFF else _SPARSE_POS_BYTES
 
     def add(self, pos: np.ndarray) -> None:
         flat = pos.ravel()
@@ -178,7 +181,7 @@ class _PositionAccumulator:
             return
         self.chunks.append(flat)
         self.count += flat.size
-        if self.count * _SPARSE_POS_BYTES > self.num_bytes:
+        if self.count * self.pos_bytes > self.num_bytes:
             if self.m <= BOOL_SCATTER_LIMIT:
                 self.seen = np.zeros(self.m, dtype=bool)
                 for c in self.chunks:
@@ -201,17 +204,20 @@ class _PositionAccumulator:
             if self.chunks
             else np.zeros(0, dtype=np.uint32)
         )
-        if uniq.size * _SPARSE_POS_BYTES >= self.num_bytes:
+        if uniq.size * self.pos_bytes >= self.num_bytes:
             bits = positions_to_dense_bits(uniq, self.m, self.num_bytes)
             return "dense", uniq.size, bits.tobytes()
+        if self.pos_bytes == 8:
+            return "sparse64", uniq.size, uniq.astype(np.uint64).tobytes()
         return "sparse", uniq.size, uniq.astype(np.uint32).tobytes()
 
 
 def partial_to_bits(kind: str, payload: bytes, config: FilterConfig) -> np.ndarray:
     if kind == "dense":
         return np.frombuffer(payload, dtype=np.uint8)
+    dt = np.uint64 if kind == "sparse64" else np.uint32
     return positions_to_dense_bits(
-        np.frombuffer(payload, dtype=np.uint32), config.m, config.num_bytes
+        np.frombuffer(payload, dtype=dt), config.m, config.num_bytes
     )
 
 
@@ -268,8 +274,11 @@ def _merge_partial_arrays(kinds, payloads, config: FilterConfig) -> np.ndarray:
         if kind == "dense":
             np.bitwise_or(acc, np.frombuffer(payload, dtype=np.uint8), out=acc)
         else:
-            sparse.append(np.frombuffer(payload, dtype=np.uint32))
+            dt = np.uint64 if kind == "sparse64" else np.uint32
+            sparse.append(np.frombuffer(payload, dtype=dt))
     if sparse:
+        if len({a.dtype for a in sparse}) > 1:
+            sparse = [a.astype(np.uint64) for a in sparse]
         pos = np.unique(np.concatenate(sparse))
         np.bitwise_or(
             acc, positions_to_dense_bits(pos, config.m, config.num_bytes), out=acc

@@ -341,6 +341,10 @@ def km_positions_h1(keys, m: int, k: int):
     """Kirsch-Mitzenmacher positions plus the raw h1 = murmur3(0, key)
     values (reused by builders as the lineage fingerprint, saving a third
     murmur evaluation per key).  Returns (pos (N,k) int64, h1 uint32)."""
+    if m > 0x7FFFFFFF:
+        # past the Java-int parity cap there is no reference behavior to
+        # match; use the 64-bit KM variant (extended mode)
+        return km64_positions_h1(keys, m, k)
     keys = as_keys(keys)
     n = len(keys)
     # positions fit uint32: the reference caps m at Java int (2^31,
@@ -368,6 +372,42 @@ def km_positions_h1(keys, m: int, k: int):
                 else:
                     sub = idx[s : s + _KM_CHUNK]
                     pos[sub] = p.astype(np.uint32)
+                    h1_out[sub] = g1
+    return pos, h1_out
+
+
+def km64_positions_h1(keys, m: int, k: int):
+    """64-bit Kirsch-Mitzenmacher for extended-mode filters (m beyond
+    the Java-int parity cap): two 64-bit hashes assembled from four
+    chained murmur3_32 evaluations sharing one premix, positions =
+    (h1_64 + i*(h2_64|1)) mod m in uint64.  Returns (pos (N,k) uint64,
+    h1 uint32) — h1 keeps fingerprint/lineage parity with the 32-bit
+    path."""
+    keys = as_keys(keys)
+    n = len(keys)
+    pos = np.empty((n, k), dtype=np.uint64)
+    h1_out = np.empty(n, dtype=_U32)
+    i_arr = np.arange(k, dtype=_U64)[None, :]
+    mm = _U64(m)
+    with np.errstate(over="ignore"):
+        for idx, mat in _group_by_length(keys):
+            contiguous = idx.size == n
+            for s in range(0, idx.size, _KM_CHUNK):
+                msub = mat[s : s + _KM_CHUNK]
+                premix = _premix_blocks(msub)
+                g1 = _murmur3_from_premix(premix, np.zeros(len(msub), dtype=_U32))
+                g2 = _murmur3_from_premix(premix, g1)
+                g3 = _murmur3_from_premix(premix, g2)
+                g4 = _murmur3_from_premix(premix, g3)
+                h1 = (g1.astype(_U64) << _U64(32)) | g2.astype(_U64)
+                h2 = ((g3.astype(_U64) << _U64(32)) | g4.astype(_U64)) | _U64(1)
+                p = (h1[:, None] + i_arr * h2[:, None]) % mm
+                if contiguous:
+                    pos[s : s + _KM_CHUNK] = p
+                    h1_out[s : s + _KM_CHUNK] = g1
+                else:
+                    sub = idx[s : s + _KM_CHUNK]
+                    pos[sub] = p
                     h1_out[sub] = g1
     return pos, h1_out
 
@@ -512,33 +552,176 @@ def _digest_fn(method: str) -> Callable[[bytes], bytes]:
     return f
 
 
+# -- vectorized MD5 (RFC 1321) ------------------------------------------------
+
+#: round constants K[i] = floor(abs(sin(i+1)) * 2^32)
+_MD5_K = np.array(
+    [int(abs(__import__("math").sin(i + 1)) * (1 << 32)) & 0xFFFFFFFF
+     for i in range(64)],
+    dtype=np.uint32,
+)
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4
+    + [6, 10, 15, 21] * 4,
+    dtype=np.uint32,
+)
+
+
+def _md5_matrix(mat: np.ndarray) -> np.ndarray:
+    """MD5 of N same-length messages at once: (N, L) uint8 -> (N, 16)
+    uint8.  The standard RFC 1321 compression, with every 32-bit lane a
+    length-N numpy vector — the whole batch moves through the 64 rounds
+    together, like the murmur premix path.  Parity with hashlib is
+    golden-tested (tests/test_hashing.py)."""
+    n, L = mat.shape
+    n_blocks = (L + 9 + 63) // 64
+    padded = np.zeros((n, n_blocks * 64), dtype=np.uint8)
+    padded[:, :L] = mat
+    padded[:, L] = 0x80
+    bitlen = np.uint64(L * 8)
+    padded[:, -8:] = np.frombuffer(bitlen.tobytes(), dtype=np.uint8)
+    words = padded.view("<u4")  # (N, n_blocks*16)
+    a = np.full(n, 0x67452301, dtype=np.uint32)
+    b = np.full(n, 0xEFCDAB89, dtype=np.uint32)
+    c = np.full(n, 0x98BADCFE, dtype=np.uint32)
+    d = np.full(n, 0x10325476, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for blk in range(n_blocks):
+            M = words[:, blk * 16 : (blk + 1) * 16]
+            A, B, C, D = a.copy(), b.copy(), c.copy(), d.copy()
+            for i in range(64):
+                if i < 16:
+                    f = (B & C) | (~B & D)
+                    g = i
+                elif i < 32:
+                    f = (D & B) | (~D & C)
+                    g = (5 * i + 1) & 15
+                elif i < 48:
+                    f = B ^ C ^ D
+                    g = (3 * i + 5) & 15
+                else:
+                    f = C ^ (B | ~D)
+                    g = (7 * i) & 15
+                f = f + A + _MD5_K[i] + M[:, g]
+                A = D
+                D = C
+                C = B
+                s = int(_MD5_S[i])
+                B = B + ((f << np.uint32(s)) | (f >> np.uint32(32 - s)))
+            a += A
+            b += B
+            c += C
+            d += D
+    out = np.empty((n, 16), dtype=np.uint8)
+    out[:, 0:4] = a[:, None].view(np.uint8).reshape(n, 4)
+    out[:, 4:8] = b[:, None].view(np.uint8).reshape(n, 4)
+    out[:, 8:12] = c[:, None].view(np.uint8).reshape(n, 4)
+    out[:, 12:16] = d[:, None].view(np.uint8).reshape(n, 4)
+    return out
+
+
+def _extract_crypt_positions(words, active, counts, out, m, k, fs, nsplits):
+    """Shared slice-extraction for the crypt family: little-endian
+    fs-bit slices, accepted iff < m, scattered into the first free
+    position slots.  All vectorized over the active rows."""
+    mask = _U64((1 << fs) - 1)
+    nwords = words.shape[1]
+    with np.errstate(over="ignore"):
+        for split in range(nsplits):
+            w, o = divmod(split * fs, 64)
+            v = words[:, w] >> _U64(o)
+            if o + fs > 64 and w + 1 < nwords:
+                v = v | (words[:, w + 1] << _U64(64 - o))
+            v = v & mask
+            ok = (v < _U64(m)) & (counts[active] < k)
+            rows = active[ok]
+            if rows.size:
+                out[rows, counts[rows]] = v[ok].astype(np.int64)
+                counts[rows] += 1
+
+
+def _positions_crypt_md5(keys: Keys, m: int, k: int) -> np.ndarray:
+    """Fully-vectorized MD5 position path: digest chaining
+    H(prev || key) runs through :func:`_md5_matrix` per round, slices
+    through the shared extractor — no hashlib, no per-row Python."""
+    n = len(keys)
+    fs = m.bit_length()
+    out = np.empty((n, k), dtype=np.int64)
+    counts = np.zeros(n, dtype=np.int64)
+    nsplits = 128 // fs
+    for idx, key_mat in _group_by_length(keys):
+        active = idx.copy()
+        msg = key_mat  # round 1: H(key)
+        local = np.arange(len(idx))
+        while active.size:
+            dig = _md5_matrix(msg)
+            words = dig.view("<u8")  # 16 bytes = exactly two LE lanes
+            _extract_crypt_positions(words, active, counts, out, m, k, fs, nsplits)
+            unfinished = counts[active] < k
+            if not unfinished.any():
+                break
+            # chain: H(digest || key) for the unfinished rows
+            active = active[unfinished]
+            local = local[unfinished]
+            msg = np.concatenate([dig[unfinished], key_mat[local]], axis=1)
+    return out
+
+
 def positions_crypt(keys, m: int, k: int, method: str) -> np.ndarray:
     """Replica of HashProvider.hashCrypt (java:341-388).
 
     digest_0 = H(value); digest_r = H(digest_{r-1} || value).  Each digest
     is consumed little-endian (BitSet.valueOf) in slices of
     ``m.bit_length()`` bits, each accepted iff < m.
+
+    The digest itself is one C-speed hashlib call per (row, round) —
+    there is no batch hashlib API — but everything else (little-endian
+    slice extraction, acceptance, position scatter) runs vectorized over
+    the whole batch per round, which is ~5x the fully-scalar form.
+    Rounds beyond the first involve only the rows whose first digest
+    didn't yield k accepted slices.  MD5 short-circuits to the fully
+    numpy-vectorized implementation (no hashlib at all).
     """
     keys = as_keys(keys)
+    if method == "MD5":
+        return _positions_crypt_md5(keys, m, k)
     digest = _digest_fn(method)
+    n = len(keys)
     fs = m.bit_length()  # 32 - Integer.numberOfLeadingZeros(m), java:367
-    out = np.empty((len(keys), k), dtype=np.int64)
-    mask = (1 << fs) - 1
-    for row in range(len(keys)):
-        key = keys.get(row)
-        positions: List[int] = []
-        d = b""
-        while len(positions) < k:
-            d = digest(d + key)
-            big = int.from_bytes(d, "little")
-            nsplits = (len(d) * 8) // fs
+    mask = _U64((1 << fs) - 1)
+    out = np.empty((n, k), dtype=np.int64)
+    counts = np.zeros(n, dtype=np.int64)
+    key_bytes = [keys.get(i) for i in range(n)]
+    prev: List[bytes] = [b""] * n
+    active = np.arange(n)
+    while active.size:
+        # per-row digests (C-speed each), then batch slice extraction
+        digs = [digest(prev[i] + key_bytes[i]) for i in active.tolist()]
+        L = len(digs[0])
+        nwords = (L + 7) // 8
+        mat = np.frombuffer(b"".join(digs), dtype=np.uint8).reshape(active.size, L)
+        if L % 8:
+            mat = np.concatenate(
+                [mat, np.zeros((active.size, nwords * 8 - L), dtype=np.uint8)], axis=1
+            )
+        words = mat.view("<u8")  # (A, nwords) little-endian 64-bit lanes
+        nsplits = (L * 8) // fs
+        with np.errstate(over="ignore"):
             for split in range(nsplits):
-                if len(positions) >= k:
-                    break
-                v = (big >> (split * fs)) & mask
-                if v < m:
-                    positions.append(v)
-        out[row] = positions
+                w, o = divmod(split * fs, 64)
+                v = words[:, w] >> _U64(o)
+                if o + fs > 64 and w + 1 < nwords:
+                    v = v | (words[:, w + 1] << _U64(64 - o))
+                v = v & mask
+                ok = (v < _U64(m)) & (counts[active] < k)
+                rows = active[ok]
+                if rows.size:
+                    out[rows, counts[rows]] = v[ok].astype(np.int64)
+                    counts[rows] += 1
+        # chain: unfinished rows hash H(prev_digest || key) next round
+        for j, i in enumerate(active.tolist()):
+            prev[i] = digs[j]
+        active = active[counts[active] < k]
     return out
 
 

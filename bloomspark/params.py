@@ -87,6 +87,12 @@ class FilterConfig:
     counting_bits: int = DEFAULT_COUNTING_BITS
     hash_method: str = DEFAULT_HASH_METHOD
     name: str = ""
+    #: 64-bit mode: lifts the Java-int parity cap on m (2^31-1,
+    #: FilterBuilder.java:31) for filters sized beyond what the
+    #: reference can represent (10^12 keys at p=0.01 need ~10^13 bits).
+    #: Positions travel as uint64 ('sparse64' partials); only the
+    #: Murmur3KirschMitzenmacher method has a 64-bit position path.
+    extended: bool = False
 
     @classmethod
     def complete(
@@ -98,6 +104,7 @@ class FilterConfig:
         counting_bits: int = DEFAULT_COUNTING_BITS,
         hash_method: str = DEFAULT_HASH_METHOD,
         name: str = "",
+        extended: bool = False,
     ) -> "FilterConfig":
         """Infer missing parameters (FilterBuilder.complete, FilterBuilder.java:435-449)."""
         if m is None and n is not None and p is not None:
@@ -116,14 +123,22 @@ class FilterConfig:
             raise ValueError(f"Unknown hash method {hash_method!r}; one of {HASH_METHODS}")
         if m <= 0 or k <= 0:
             raise ValueError(f"m and k must be positive (got m={m}, k={k})")
-        if m > 2**31 - 1:
+        if m > 2**31 - 1 and not extended:
             # reference parity: FilterBuilder caps m at Java int
-            # (FilterBuilder.java:31); our position arrays are uint32.
-            # 64-bit m is a planned extension (see STATUS.md).
+            # (FilterBuilder.java:31); uint32 position arrays.  The
+            # extended=True escape hatch lifts the cap (uint64 path).
             raise ValueError(
                 f"m={m} exceeds 2^31-1 (Java int parity cap); "
-                "shard into multiple filters or lower n/raise p"
+                "pass extended=True for the 64-bit mode, or shard"
             )
+        if extended:
+            if hash_method != DEFAULT_HASH_METHOD:
+                raise ValueError(
+                    "extended (64-bit m) mode supports only the "
+                    "Murmur3KirschMitzenmacher hash method"
+                )
+            if m > 2**46:
+                raise ValueError(f"m={m} exceeds the extended-mode cap 2^46")
         return cls(
             m=m,
             k=k,
@@ -132,6 +147,7 @@ class FilterConfig:
             counting_bits=counting_bits,
             hash_method=hash_method,
             name=name,
+            extended=extended,
         )
 
     def is_compatible_to(self, other: "FilterConfig") -> bool:
@@ -173,6 +189,7 @@ class FilterConfig:
             "counting_bits": self.counting_bits,
             "hash_method": self.hash_method,
             "name": self.name,
+            "extended": self.extended,
         }
 
     @classmethod
@@ -185,4 +202,5 @@ class FilterConfig:
             counting_bits=int(d.get("counting_bits", DEFAULT_COUNTING_BITS)),
             hash_method=str(d.get("hash_method", DEFAULT_HASH_METHOD)),
             name=str(d.get("name", "")),
+            extended=bool(d.get("extended", False)),
         )
