@@ -10,10 +10,10 @@ Pass ``--scaling`` to additionally run the identical build job at two
 parallelism levels — taskset-pinned to N and 4N cores so the small level
 cannot borrow idle cores — on the same input, reporting throughput at
 both plus scaling efficiency (the sandbox adaptation of the
-two-cluster-size criterion, BASELINE.md 'Our target protocol').  N=2 by
-default: this single box's Arrow transfer chain saturates near ~3M
-rows/s, so levels above ~8 heavy tasks measure the ceiling, not scaling
-(quantified in BASELINE.md).
+two-cluster-size criterion, BASELINE.md 'Our target protocol').  Two
+pairs are measured: the primary 1->4 (where the box's per-core resources
+are not contended) and 2->8 (which additionally measures the shared
+DRAM / Arrow-IPC ceiling — quantified stage by stage in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -304,7 +304,15 @@ def main():
     }
 
     if "--scaling" in sys.argv:
-        payload["scaling"] = run_scaling(2, 8)
+        # primary criterion: N=1 -> 4N=4 pinned cores (the pair where the
+        # shared box actually scales its resources with the core count);
+        # the 2->8 pair is reported alongside with the contention analysis
+        # (BASELINE.md): at 8 pinned cores the JVM<->Python Arrow IPC
+        # path contends for the same fixed DRAM/kernel resources, which a
+        # real N->4N cluster (memory channels and NICs scale WITH nodes)
+        # does not suffer.
+        payload["scaling"] = run_scaling(1, 4)
+        payload["scaling_2_8"] = run_scaling(2, 8)
 
     print(json.dumps(payload))
 

@@ -29,6 +29,7 @@ Scale notes (100 TB / 1000-executor design):
 from __future__ import annotations
 
 import time
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -198,7 +199,8 @@ class _PositionAccumulator:
             bits = np.packbits(self.seen, bitorder="little")
             if bits.size < self.num_bytes:
                 bits = np.pad(bits, (0, self.num_bytes - bits.size))
-            return "dense", popcount(bits), bits.tobytes()
+            kind, payload = _encode_dense(bits)
+            return kind, popcount(bits), payload
         uniq = (
             np.unique(np.concatenate(self.chunks))
             if self.chunks
@@ -206,18 +208,68 @@ class _PositionAccumulator:
         )
         if uniq.size * self.pos_bytes >= self.num_bytes:
             bits = positions_to_dense_bits(uniq, self.m, self.num_bytes)
-            return "dense", uniq.size, bits.tobytes()
-        if self.pos_bytes == 8:
-            return "sparse64", uniq.size, uniq.astype(np.uint64).tobytes()
-        return "sparse", uniq.size, uniq.astype(np.uint32).tobytes()
+            kind, payload = _encode_dense(bits)
+            return kind, uniq.size, payload
+        kind, payload = _encode_sparse(uniq, self.pos_bytes)
+        return kind, uniq.size, payload
+
+
+#: Optional wire compression for partials: sorted sparse positions
+#: delta-encode (uniform gaps are small ints, so 3 of 4 bytes are zero)
+#: then deflate level 1; dense bitsets deflate directly (low-fill
+#: partials are mostly zero bytes).  DEFAULT OFF: measured on this box,
+#: deflate cost EXCEEDS the transfer savings (8-core scaling leg 12.6s
+#: -> 19.2s with deflate on) because Spark already lz4-compresses
+#: shuffle/collect at the transport layer and local "network" is the
+#: memory bus.  Opt in with BLOOMSPARK_PARTIAL_CODEC=deflate for
+#: clusters whose cross-node links are the genuine bottleneck (set it
+#: via spark.executorEnv so workers see it too).  The decoder always
+#: understands every kind, so mixed fleets merge fine.
+import os as _os
+
+_PARTIAL_CODEC = _os.environ.get("BLOOMSPARK_PARTIAL_CODEC", "none")
+_Z_MIN_BYTES = (1 << 14) if _PARTIAL_CODEC == "deflate" else None
+_Z_SAVINGS = 0.9
+
+
+def _encode_sparse(uniq: np.ndarray, pos_bytes: int):
+    """sorted positions -> ('sparse'|'sparse64'[&'_z'], payload)."""
+    dt = np.uint64 if pos_bytes == 8 else np.uint32
+    base = "sparse64" if pos_bytes == 8 else "sparse"
+    raw = uniq.astype(dt)
+    raw_bytes = raw.tobytes()
+    if _Z_MIN_BYTES is not None and len(raw_bytes) >= _Z_MIN_BYTES:
+        delta = np.diff(raw, prepend=dt(0))
+        comp = zlib.compress(delta.tobytes(), 1)
+        if len(comp) < _Z_SAVINGS * len(raw_bytes):
+            return base + "_z", comp
+    return base, raw_bytes
+
+
+def _encode_dense(bits: np.ndarray):
+    raw = bits.tobytes()
+    if _Z_MIN_BYTES is not None and len(raw) >= _Z_MIN_BYTES:
+        comp = zlib.compress(raw, 1)
+        if len(comp) < _Z_SAVINGS * len(raw):
+            return "dense_z", comp
+    return "dense", raw
+
+
+def _decode_sparse(kind: str, payload: bytes) -> np.ndarray:
+    dt = np.uint64 if kind.startswith("sparse64") else np.uint32
+    if kind.endswith("_z"):
+        delta = np.frombuffer(zlib.decompress(payload), dtype=dt)
+        return np.cumsum(delta, dtype=dt)
+    return np.frombuffer(payload, dtype=dt)
 
 
 def partial_to_bits(kind: str, payload: bytes, config: FilterConfig) -> np.ndarray:
     if kind == "dense":
         return np.frombuffer(payload, dtype=np.uint8)
-    dt = np.uint64 if kind == "sparse64" else np.uint32
+    if kind == "dense_z":
+        return np.frombuffer(zlib.decompress(payload), dtype=np.uint8)
     return positions_to_dense_bits(
-        np.frombuffer(payload, dtype=dt), config.m, config.num_bytes
+        _decode_sparse(kind, payload), config.m, config.num_bytes
     )
 
 
@@ -273,9 +325,12 @@ def _merge_partial_arrays(kinds, payloads, config: FilterConfig) -> np.ndarray:
     for kind, payload in zip(kinds, payloads):
         if kind == "dense":
             np.bitwise_or(acc, np.frombuffer(payload, dtype=np.uint8), out=acc)
+        elif kind == "dense_z":
+            np.bitwise_or(
+                acc, np.frombuffer(zlib.decompress(payload), dtype=np.uint8), out=acc
+            )
         else:
-            dt = np.uint64 if kind == "sparse64" else np.uint32
-            sparse.append(np.frombuffer(payload, dtype=dt))
+            sparse.append(_decode_sparse(kind, payload))
     if sparse:
         if len({a.dtype for a in sparse}) > 1:
             sparse = [a.astype(np.uint64) for a in sparse]
@@ -292,6 +347,7 @@ def _or_merge_partials(config: FilterConfig):
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = _merge_partial_arrays(pdf["kind"], pdf["bitset"], config)
+        kind, payload = _encode_dense(acc)
         return pd.DataFrame(
             {
                 "part_id": [int(pdf["part_id"].min())],
@@ -299,8 +355,8 @@ def _or_merge_partials(config: FilterConfig):
                 "ones": [popcount(acc)],
                 "fingerprint": [int(pdf["fingerprint"].astype(np.uint64).sum() % np.uint64(2**63))],
                 "t_ms": [float(pdf["t_ms"].sum())],
-                "kind": ["dense"],
-                "bitset": [acc.tobytes()],
+                "kind": [kind],
+                "bitset": [payload],
             }
         )
 

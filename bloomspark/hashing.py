@@ -875,26 +875,76 @@ def _murmur2(data: bytes, seed: int) -> int:
     return h
 
 
+def _murmur2_matrix(mat: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized murmur2 over N same-length byte rows -> uint32[N].
+    Bit-exact with :func:`_murmur2` (cross-checked in tests)."""
+    n, L = mat.shape
+    M = _U32(0x5BD1E995)
+    h = np.full(n, _U32((seed ^ L) & 0xFFFFFFFF), dtype=_U32)
+    with np.errstate(over="ignore"):
+        for c in range(0, L - 3, 4):
+            kk = (
+                mat[:, c].astype(_U32)
+                | (mat[:, c + 1].astype(_U32) << _U32(8))
+                | (mat[:, c + 2].astype(_U32) << _U32(16))
+                | (mat[:, c + 3].astype(_U32) << _U32(24))
+            )
+            kk = kk * M
+            kk = kk ^ (kk >> _U32(24))
+            kk = kk * M
+            h = (h * M) ^ kk
+        rem = L % 4
+        base = L - rem
+        if rem == 3:
+            h = h ^ (mat[:, base + 2].astype(_U32) << _U32(16))
+        if rem >= 2:
+            h = h ^ (mat[:, base + 1].astype(_U32) << _U32(8))
+        if rem >= 1:
+            h = h ^ mat[:, base].astype(_U32)
+            h = h * M
+        h = h ^ (h >> _U32(13))
+        h = h * M
+        h = h ^ (h >> _U32(15))
+    return h
+
+
 def positions_murmur2(keys, m: int, k: int) -> np.ndarray:
+    """Vectorized replica of hashMurmur2 (HashProvider.java:236-258):
+    each round perturbs the key bytes in place (increment the first
+    non-127 byte, zeroing any leading 127s — java:245-253), re-hashes,
+    and rejection-samples.  The perturbation, the murmur2 pass, and the
+    acceptance all run as whole-batch numpy ops per length group; rounds
+    continue only for rows still short of k positions."""
     keys = as_keys(keys)
-    out = np.empty((len(keys), k), dtype=np.int64)
-    for row in range(len(keys)):
-        data = bytearray(keys.get(row))
-        positions: List[int] = []
-        while len(positions) < k:
-            # input perturbation (java:245-253); Java byte 127 wraps to 0
-            # explicitly, all other values increment (mod 256)
-            for i in range(len(data)):
-                if data[i] == 127:
-                    data[i] = 0
-                    continue
-                data[i] = (data[i] + 1) & 0xFF
-                break
-            h = _murmur2(bytes(data), SEED32)
-            s = rejection_sample_scalar(h, m)
-            if s != -1:
-                positions.append(s)
-        out[row] = positions
+    n = len(keys)
+    out = np.empty((n, k), dtype=np.int64)
+    for idx, mat0 in _group_by_length(keys):
+        mat = mat0.copy()  # perturbation state, mutated per round
+        L = mat.shape[1]
+        cnt = np.zeros(idx.size, dtype=np.int64)
+        res = np.empty((idx.size, k), dtype=np.int64)
+        act = np.arange(idx.size)
+        cols = np.arange(L)[None, :]
+        while act.size:
+            sub = mat[act]
+            if L:
+                m127 = sub == 127
+                first = np.argmin(m127, axis=1)  # first non-127 byte
+                all127 = m127.all(axis=1)
+                sub[cols < first[:, None]] = 0   # leading 127s wrap to 0
+                rows = np.nonzero(~all127)[0]
+                sub[rows, first[rows]] += 1      # uint8 wraps like (x+1)&0xFF
+                sub[all127] = 0
+                mat[act] = sub
+            h = _murmur2_matrix(sub, SEED32)
+            a = np.abs(h.astype(np.int32).astype(np.int64))
+            ok = _rejection_ok(a, m)
+            rows = act[ok]
+            if rows.size:
+                res[rows, cnt[rows]] = a[ok] % m
+                cnt[rows] += 1
+            act = act[cnt[act] < k]
+        out[idx] = res
     return out
 
 

@@ -231,7 +231,38 @@ def test_build_report_metrics(spark, orders):
     assert report["ones"] == bf.cardinality()
     assert 0 < report["fill_ratio"] < 1
     assert len(report["partials"]) == 4
-    assert all(p["kind"] in ("sparse", "dense") for p in report["partials"])
+    assert all(p["kind"] in ("sparse", "sparse_z", "dense", "dense_z") for p in report["partials"])
     import json
 
     json.dumps(report)  # must be JSON-serializable as-is
+
+
+def test_partial_codec_deflate_roundtrip(spark, orders, monkeypatch):
+    """Opt-in deflate partial codec (BLOOMSPARK_PARTIAL_CODEC=deflate):
+    z-kinds appear on the wire and the merged filter is byte-identical
+    to the uncompressed build.  Default stays 'none' — measured slower
+    on this box (Spark transport already lz4-compresses; see build.py)."""
+    import bloomspark.build as b
+    from bloomspark import FilterConfig, build_bloom
+
+    cfg = FilterConfig.complete(n=200_000, p=0.01)
+    plain = build_bloom(orders.repartition(6), "o_orderkey", cfg)
+    monkeypatch.setattr(b, "_Z_MIN_BYTES", 1)
+    kind, payload = b._encode_sparse(
+        __import__("numpy").arange(0, 400_000, 3, dtype=__import__("numpy").uint32), 4
+    )
+    assert kind == "sparse_z"
+    assert (b._decode_sparse(kind, payload)
+            == __import__("numpy").arange(0, 400_000, 3, dtype=__import__("numpy").uint32)).all()
+    # driver-side merge handles z-kinds byte-identically
+    import numpy as np
+
+    pos = np.unique(np.random.RandomState(0).randint(0, cfg.m, 100_000)).astype(np.uint32)
+    k1, p1 = b._encode_sparse(pos, 4)
+    dense = b._merge_partial_arrays([k1], [p1], cfg)
+    monkeypatch.setattr(b, "_Z_MIN_BYTES", None)
+    k2, p2 = b._encode_sparse(pos, 4)
+    assert k2 == "sparse"
+    dense2 = b._merge_partial_arrays([k2], [p2], cfg)
+    assert dense.tobytes() == dense2.tobytes()
+    assert plain == build_bloom(orders.repartition(6), "o_orderkey", cfg)
