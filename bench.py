@@ -185,6 +185,29 @@ def bench_queries(spark, sf_dir: str):
         emb.count(),
     )
 
+    # sketch tier over the north-rule source-code table shape: 2M
+    # synthesized (repo, path, commit, lang, content) rows, HLL on the
+    # content sha, t-digest quantiles on lineitem prices
+    from bloomspark.sketches import HyperLogLog, TDigest, build_sketch
+    from bloomspark.sources import source_code_table
+
+    n_code = 2_000_000
+    code = source_code_table(spark, n_code, partitions=nparts).select(
+        F.sha2("content", 256).alias("sha")
+    )
+    timed(
+        "q9_hll_code_distinct",
+        lambda: build_sketch(code, "sha", HyperLogLog(p=14)).estimate(),
+        n_code,
+    )
+    timed(
+        "q10_tdigest_price",
+        lambda: build_sketch(
+            lineitem.repartition(nparts), "l_extendedprice", TDigest(delta=200)
+        ).quantile(0.99),
+        n_li,
+    )
+
     return results
 
 

@@ -35,6 +35,61 @@ GROUPED_SCHEMA = "group string, rows bigint, ones bigint, bitset binary"
 GROUPED_COUNTING_SCHEMA = "group string, rows bigint, nonzero bigint, counters binary"
 
 
+def _grouped_stage1_gen(config: FilterConfig):
+    """mapInArrow generator over (__group, __key, __salt) batches,
+    repartitioned on (__group, __salt): streams batches through one
+    Bloom accumulator per (group, salt) cell instead of materializing
+    the whole cell as a pandas frame (the round-1 ``applyInPandas``
+    shape held rows/salt_partitions of a hot group in memory at once).
+    Peak memory = one Arrow batch + the live accumulators."""
+    import pyarrow as pa
+
+    from .build import _PositionAccumulator, partial_to_bits
+
+    m, k = config.m, config.k
+    method = config.hash_method
+    num_bytes = config.num_bytes
+    schema = pa.schema(
+        [
+            ("group", pa.string()),
+            ("rows", pa.int64()),
+            ("ones", pa.int64()),
+            ("bitset", pa.binary()),
+        ]
+    )
+
+    def gen(batches):
+        accs = {}  # group -> [accumulator, rows]  (salt co-located anyway)
+        hash_fn = get_hash_fn(method)
+        for batch in batches:
+            from .hashing import Keys
+
+            keys = Keys.from_arrow(batch.column(1))
+            if len(keys) == 0:
+                continue
+            groups = batch.column(0).to_numpy(zero_copy_only=False)
+            pos = hash_fn(keys, m, k)
+            uniq, inv = np.unique(groups, return_inverse=True)
+            for gi, g in enumerate(uniq):
+                mask = inv == gi
+                st = accs.setdefault(g, [_PositionAccumulator(m, num_bytes), 0])
+                st[0].add(pos[mask])
+                st[1] += int(mask.sum())
+        if not accs:
+            return
+        cols = {"group": [], "rows": [], "ones": [], "bitset": []}
+        for g, (acc, rows) in sorted(accs.items()):
+            kind, ones, payload = acc.finish()
+            bits = partial_to_bits(kind, payload, config)
+            cols["group"].append(g)
+            cols["rows"].append(rows)
+            cols["ones"].append(int(ones))
+            cols["bitset"].append(bits.tobytes())
+        yield pa.RecordBatch.from_pydict(cols, schema=schema)
+
+    return gen
+
+
 def build_bloom_per_group(
     df: DataFrame,
     group_col: str,
@@ -44,26 +99,6 @@ def build_bloom_per_group(
     salt_partitions: int = 8,
 ) -> DataFrame:
     """One Bloom filter per group -> DataFrame (group, rows, ones, bitset)."""
-    m, k = config.m, config.k
-    method = config.hash_method
-    num_bytes = config.num_bytes
-
-    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = _series_to_keys(pdf["__key"])
-        pos = get_hash_fn(method)(keys, m, k)
-        seen = np.zeros(m, dtype=bool)
-        seen[pos.ravel()] = True
-        bits = np.packbits(seen, bitorder="little")
-        if bits.size < num_bytes:
-            bits = np.pad(bits, (0, num_bytes - bits.size))
-        return pd.DataFrame(
-            {
-                "group": [pdf["__group"].iloc[0]],
-                "rows": [len(keys)],
-                "ones": [popcount(bits)],
-                "bitset": [bits.tobytes()],
-            }
-        )
 
     def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
         arrays = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitset"]]
@@ -82,8 +117,9 @@ def build_bloom_per_group(
         key_column(key_col).alias("__key"),
         F.pmod(F.xxhash64(key_column(key_col)), F.lit(salt_partitions)).alias("__salt"),
     )
-    partials = keyed.groupBy("__group", "__salt").applyInPandas(
-        stage1, schema=GROUPED_SCHEMA
+    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    partials = keyed.repartition(max(shuffle_parts, 1), "__group", "__salt").mapInArrow(
+        _grouped_stage1_gen(config), schema=GROUPED_SCHEMA
     )
     return partials.groupBy("group").applyInPandas(stage2, schema=GROUPED_SCHEMA)
 
@@ -102,19 +138,43 @@ def build_counting_per_group(
     dt = counter_dtype(config.counting_bits)
     mx = counter_max(config.counting_bits)
 
-    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = _series_to_keys(pdf["__key"])
-        pos = get_hash_fn(method)(keys, m, k)
-        counters = np.zeros(m, dtype=dt)
-        add_saturating(counters, np.bincount(pos.ravel(), minlength=m), mx)
-        return pd.DataFrame(
-            {
-                "group": [pdf["__group"].iloc[0]],
-                "rows": [len(keys)],
-                "nonzero": [int(np.count_nonzero(counters))],
-                "counters": [counters.tobytes()],
-            }
+    def stage1_gen(batches):
+        # streaming per-group counter accumulation (see _grouped_stage1_gen)
+        import pyarrow as pa
+
+        from .hashing import Keys
+
+        pa_schema = pa.schema(
+            [("group", pa.string()), ("rows", pa.int64()),
+             ("nonzero", pa.int64()), ("counters", pa.binary())]
         )
+        states = {}
+        hash_fn = get_hash_fn(method)
+        for batch in batches:
+            keys = Keys.from_arrow(batch.column(1))
+            if len(keys) == 0:
+                continue
+            groups = batch.column(0).to_numpy(zero_copy_only=False)
+            pos = hash_fn(keys, m, k)
+            uniq, inv = np.unique(groups, return_inverse=True)
+            for gi, g in enumerate(uniq):
+                mask = inv == gi
+                st = states.setdefault(g, [np.zeros(m, dtype=dt), 0])
+                # bincount stays int64: casting to dt BEFORE the add
+                # would wrap (not saturate) counts above the dtype max
+                add_saturating(
+                    st[0], np.bincount(pos[mask].ravel(), minlength=m), mx
+                )
+                st[1] += int(mask.sum())
+        if not states:
+            return
+        cols = {"group": [], "rows": [], "nonzero": [], "counters": []}
+        for g, (counters, rows) in sorted(states.items()):
+            cols["group"].append(g)
+            cols["rows"].append(rows)
+            cols["nonzero"].append(int(np.count_nonzero(counters)))
+            cols["counters"].append(counters.tobytes())
+        yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
 
     def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(m, dtype=dt)
@@ -134,8 +194,9 @@ def build_counting_per_group(
         key_column(key_col).alias("__key"),
         F.pmod(F.xxhash64(key_column(key_col)), F.lit(salt_partitions)).alias("__salt"),
     )
-    partials = keyed.groupBy("__group", "__salt").applyInPandas(
-        stage1, schema=GROUPED_COUNTING_SCHEMA
+    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    partials = keyed.repartition(max(shuffle_parts, 1), "__group", "__salt").mapInArrow(
+        stage1_gen, schema=GROUPED_COUNTING_SCHEMA
     )
     return partials.groupBy("group").applyInPandas(
         stage2, schema=GROUPED_COUNTING_SCHEMA
