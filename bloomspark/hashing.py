@@ -730,28 +730,70 @@ def positions_crypt(keys, m: int, k: int, method: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _make_crc_table() -> np.ndarray:
+    """The standard reflected CRC-32 table (poly 0xEDB88320) — drives
+    the vectorized one-byte update below; parity with zlib.crc32 is
+    asserted in tests."""
+    tbl = np.empty(256, dtype=np.uint32)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        tbl[i] = c
+    return tbl
+
+
+_CRC_TABLE = _make_crc_table()
+_ADLER_MOD = np.uint32(65521)
+
+
 def _positions_checksum(keys, m: int, k: int, kind: str) -> np.ndarray:
+    """Replica of hashChecksum (HashProvider.java:92-123): per position,
+    extend the key's checksum by ONE byte, (count + salt++ + seed) & 0xFF
+    (Checksum.update(int) consumes only the low byte, java:116), then
+    rejection-sample.
+
+    The per-key base checksum is one C-speed zlib call per row; the
+    salt loop — the actual hot part, ~2k iterations per key — runs
+    vectorized: a one-byte CRC update is table[(c^b)&0xFF] ^ (c>>8) on
+    the pre-conditioned state, a one-byte Adler update is two modular
+    adds, both whole-batch numpy ops.  All incomplete rows advance their
+    (count, salt) state together, exactly matching the scalar loop."""
     keys = as_keys(keys)
-    base_fn = zlib.crc32 if kind == "CRC32" else zlib.adler32
-    # Adler32's initial value is 1 (zlib default); CRC32's is 0.
-    init = 0 if kind == "CRC32" else 1
-    out = np.empty((len(keys), k), dtype=np.int64)
-    for row in range(len(keys)):
-        key = keys.get(row)
-        positions: List[int] = []
-        salt = 0
-        base = base_fn(key, init)
-        while len(positions) < k:
-            # cs.update(hashes + salt++ + seed32): Checksum.update(int)
-            # consumes only the low byte (java:116)
-            b = bytes([(len(positions) + salt + SEED32) & 0xFF])
-            salt += 1
-            val = base_fn(b, base) & 0xFFFFFFFF
-            signed = val - (1 << 32) if val >= (1 << 31) else val
-            h = rejection_sample_scalar(signed, m)
-            if h != -1:
-                positions.append(h)
-        out[row] = positions
+    n = len(keys)
+    is_crc = kind == "CRC32"
+    base_fn = zlib.crc32 if is_crc else zlib.adler32
+    init = 0 if is_crc else 1
+    base = np.empty(n, dtype=np.uint32)
+    for row in range(n):
+        base[row] = base_fn(keys.get(row), init)
+    out = np.empty((n, k), dtype=np.int64)
+    counts = np.zeros(n, dtype=np.int64)
+    active = np.arange(n)
+    t = 0  # global iteration == per-row salt for every incomplete row
+    with np.errstate(over="ignore"):
+        if is_crc:
+            # pre-condition once: zlib crc32 state = result ^ 0xFFFFFFFF
+            pre = base ^ np.uint32(0xFFFFFFFF)
+        while active.size:
+            b = ((counts[active] + t + SEED32) & 0xFF).astype(np.uint32)
+            t += 1
+            if is_crc:
+                c = pre[active]
+                c = _CRC_TABLE[(c ^ b) & np.uint32(0xFF)] ^ (c >> np.uint32(8))
+                val = c ^ np.uint32(0xFFFFFFFF)
+            else:
+                lo = (base[active] & np.uint32(0xFFFF)) + b
+                lo %= _ADLER_MOD
+                hi = ((base[active] >> np.uint32(16)) + lo) % _ADLER_MOD
+                val = (hi << np.uint32(16)) | lo
+            a = np.abs(val.astype(np.int32).astype(np.int64))
+            ok = _rejection_ok(a, m) & (val.astype(np.int32) != np.int32(-(1 << 31)))
+            rows = active[ok]
+            if rows.size:
+                out[rows, counts[rows]] = a[ok] % m
+                counts[rows] += 1
+            active = active[counts[active] < k]
     return out
 
 
@@ -807,18 +849,60 @@ def _int32(x: int) -> int:
     return x - (1 << 32) if x >= (1 << 31) else x
 
 
+_LCG_MULT = np.uint64(0x5DEECE66D)
+_LCG_ADD = np.uint64(0xB)
+_LCG_MASK = np.uint64((1 << 48) - 1)
+
+
 def positions_rng(keys, m: int, k: int) -> np.ndarray:
-    """hashRNG (java:75-82): Random(FNV(value)), k draws of nextInt(m)."""
+    """hashRNG (java:75-82): Random(FNV(value)), k draws of nextInt(m).
+
+    Vectorized java.util.Random: the 48-bit LCG state is a uint64
+    vector; every incomplete row advances one nextInt attempt per
+    iteration (nextInt's modulo-bias rejection included), bit-exact with
+    the scalar JavaRandom replica (cross-checked in tests)."""
     keys = as_keys(keys)
-    seeds = fnv_hash_bytes(keys)
-    out = np.empty((len(keys), k), dtype=np.int64)
-    for row in range(len(keys)):
-        r = JavaRandom(int(seeds[row]))
-        out[row] = [r.next_int(m) for _ in range(k)]
+    n = len(keys)
+    seeds = fnv_hash_bytes(keys).astype(np.int64)
+    state = (seeds.astype(np.uint64) ^ _LCG_MULT) & _LCG_MASK
+    out = np.empty((n, k), dtype=np.int64)
+    counts = np.zeros(n, dtype=np.int64)
+    active = np.arange(n)
+    pow2 = (m & -m) == m
+    with np.errstate(over="ignore"):
+        while active.size:
+            st = (state[active] * _LCG_MULT + _LCG_ADD) & _LCG_MASK
+            state[active] = st
+            bits = (st >> np.uint64(17)).astype(np.int64)  # next(31)
+            if pow2:
+                val = (np.int64(m) * bits) >> np.int64(31)
+                ok = np.ones(active.size, dtype=bool)
+            else:
+                val = bits % m
+                # Java's int-overflow rejection: int32(bits - val + m-1) >= 0
+                chk = (bits - val + (m - 1)) & 0xFFFFFFFF
+                ok = chk < (1 << 31)
+            rows = active[ok]
+            if rows.size:
+                out[rows, counts[rows]] = val[ok]
+                counts[rows] += 1
+            active = active[counts[active] < k]
     return out
 
 
 _CW_PRIME64 = 53200200938189
+
+
+def _mulmod46(x_mod: int, v: np.ndarray, p: int) -> np.ndarray:
+    """(x_mod * v) % p vectorized without 128-bit ints: fold x_mod's
+    16-bit chunks Horner-style — every intermediate stays < 2^63
+    because p < 2^46 (r<<16 < 2^62, chunk*v < 2^62)."""
+    pp = np.uint64(p)
+    r = np.zeros(v.shape, dtype=np.uint64)
+    for shift in (32, 16, 0):
+        chunk = np.uint64((x_mod >> shift) & 0xFFFF)
+        r = ((r << np.uint64(16)) + chunk * v) % pp
+    return r
 
 
 def positions_carter_wegman(keys, m: int, k: int) -> np.ndarray:
@@ -827,16 +911,38 @@ def positions_carter_wegman(keys, m: int, k: int) -> np.ndarray:
     v = signed big-endian BigInteger of the value bytes (empty -> 0);
     a, b drawn from Random(seed32).nextLong() — the (a, b) sequence is
     identical for every key, so it is precomputed once.
-    """
+
+    Vectorized: v mod p is a per-length-group Horner fold over the byte
+    columns (r = r*256 + byte, mod p each step — fits uint64 since
+    p < 2^46), with the signed-BigInteger twist handled as
+    v - 2^(8L) mod p when the top bit is set; each position is then one
+    chunked mulmod + add, whole-batch.  Bit-exact vs the scalar big-int
+    form (cross-checked in tests)."""
     keys = as_keys(keys)
+    n = len(keys)
+    p = _CW_PRIME64
     r = JavaRandom(SEED32)
-    ab = [(r.next_long(), r.next_long()) for _ in range(k)]
-    out = np.empty((len(keys), k), dtype=np.int64)
-    for row in range(len(keys)):
-        key = keys.get(row)
-        v = int.from_bytes(key if key else b"\x00", "big", signed=True)
-        for i, (a, b) in enumerate(ab):
-            out[row, i] = ((a * v + b) % _CW_PRIME64) % m
+    ab = [(r.next_long() % p, r.next_long() % p) for _ in range(k)]
+    v_mod = np.zeros(n, dtype=np.uint64)
+    pp = np.uint64(p)
+    with np.errstate(over="ignore"):
+        for idx, mat in _group_by_length(keys):
+            L = mat.shape[1]
+            acc = np.zeros(idx.size, dtype=np.uint64)
+            for j in range(L):
+                acc = (acc * np.uint64(256) + mat[:, j].astype(np.uint64)) % pp
+            if L:
+                # signed big-endian: top bit set -> v = unsigned - 2^(8L)
+                neg = mat[:, 0] >= 128
+                if neg.any():
+                    off = np.uint64(pow(2, 8 * L, p))
+                    acc[neg] = (acc[neg] + pp - off) % pp
+            # empty byte string hashes as b"\x00" (BigInteger needs >= 1
+            # byte) -> value 0, which acc already is
+            v_mod[idx] = acc
+        out = np.empty((n, k), dtype=np.int64)
+        for i, (a_mod, b_mod) in enumerate(ab):
+            out[:, i] = ((_mulmod46(a_mod, v_mod, p) + np.uint64(b_mod)) % pp % np.uint64(m)).astype(np.int64)
     return out
 
 

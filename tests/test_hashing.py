@@ -232,3 +232,81 @@ def test_murmur2_vectorized_matches_scalar_reference():
     t0 = time.time()
     positions_murmur2(big, m, 6)
     assert time.time() - t0 < 3.0
+
+
+def test_checksum_vectorized_matches_scalar_reference():
+    """CRC32/Adler32 positions must be bit-exact with a direct scalar
+    transcription of hashChecksum (java:92-123) driven by zlib itself —
+    this also proves the numpy CRC table + one-byte update equal
+    zlib.crc32's own arithmetic."""
+    import zlib
+
+    from bloomspark.hashing import (
+        SEED32,
+        as_keys,
+        positions_adler32,
+        positions_crc32,
+        rejection_sample_scalar,
+    )
+
+    def scalar(key: bytes, m: int, k: int, crc: bool):
+        fn = zlib.crc32 if crc else zlib.adler32
+        base = fn(key, 0 if crc else 1)
+        positions, salt = [], 0
+        while len(positions) < k:
+            b = bytes([(len(positions) + salt + SEED32) & 0xFF])
+            salt += 1
+            val = fn(b, base) & 0xFFFFFFFF
+            signed = val - (1 << 32) if val >= (1 << 31) else val
+            h = rejection_sample_scalar(signed, m)
+            if h != -1:
+                positions.append(h)
+        return positions
+
+    raw = ["foo", "bar", "", "a", "key:42", "日本語", "x" * 100] + [
+        f"k{i}" for i in range(150)
+    ]
+    m, k = 8143, 5
+    got_crc = positions_crc32(as_keys(raw), m, k)
+    got_adl = positions_adler32(as_keys(raw), m, k)
+    for row, s in enumerate(raw):
+        assert got_crc[row].tolist() == scalar(s.encode(), m, k, True), s
+        assert got_adl[row].tolist() == scalar(s.encode(), m, k, False), s
+
+
+def test_rng_and_carterwegman_vectorized_match_scalar():
+    """RNG (java.util.Random replica) and CarterWegman positions must be
+    bit-exact with direct scalar transcriptions of HashProvider.hashRNG
+    (java:75-82) and hashCarterWegman (java:51-67)."""
+    from bloomspark.hashing import (
+        SEED32,
+        JavaRandom,
+        _CW_PRIME64,
+        as_keys,
+        fnv_hash_bytes,
+        positions_carter_wegman,
+        positions_rng,
+    )
+
+    raw = ["foo", "bar", "", "a", "key:42", "日本語", "\xff\x80", "x" * 40] + [
+        f"k{i}" for i in range(150)
+    ]
+    kb = as_keys(raw)
+
+    for m in (8143, 8192):  # non-power-of-two AND power-of-two nextInt
+        k = 5
+        got = positions_rng(kb, m, k)
+        seeds = fnv_hash_bytes(kb)
+        for row, s in enumerate(raw):
+            r = JavaRandom(int(seeds[row]))
+            assert got[row].tolist() == [r.next_int(m) for _ in range(k)], (m, s)
+
+    m, k = 8143, 5
+    got = positions_carter_wegman(kb, m, k)
+    r = JavaRandom(SEED32)
+    ab = [(r.next_long(), r.next_long()) for _ in range(k)]
+    for row, s in enumerate(raw):
+        key = s.encode("utf-8")
+        v = int.from_bytes(key if key else b"\x00", "big", signed=True)
+        expect = [((a * v + b) % _CW_PRIME64) % m for a, b in ab]
+        assert got[row].tolist() == expect, s
