@@ -526,6 +526,26 @@ def q_events_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tenant frequency probe: one counting filter per event_type
+    (salted two-phase build), each (user, type) grid row's count
+    estimated against its own group's filter via the broadcast-dict
+    probe — estimates equal exact GROUP BY counts at p=1e-9."""
+    from bloomspark.grouped import build_counting_per_group, with_group_estimated_count
+
+    events = _read(spark, sf_dir, "events")
+    cfg = FilterConfig.complete(
+        n=max(events.count(), 1), p=EXACT_P, counting_bits=32
+    )
+    counters = build_counting_per_group(events, "event_type", "user_id", cfg)
+    grid = events.select("user_id").distinct().crossJoin(
+        events.select("event_type").distinct()
+    )
+    return with_group_estimated_count(
+        grid, "event_type", "user_id", counters, cfg
+    ).select("user_id", "event_type", "est_count")
+
+
 def q_expiring_known(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cache-sketch lifecycle over the events log (§2.6, ExpiringBloomFilter
     .java): every event grants its user a 10-min read lease (reportRead
@@ -613,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "events_error_users": q_events_error_users,
         "grouped_membership": q_grouped_membership,
+        "grouped_counts": q_grouped_counts,
         "expiring_known": q_expiring_known,
     }
 
@@ -897,6 +918,15 @@ def oracle_sql() -> dict[str, str]:
                    user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
                        AS had_error
             FROM (SELECT DISTINCT user_id FROM events)
+        """,
+        "grouped_counts": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+                 t AS (SELECT DISTINCT event_type FROM events)
+            SELECT u.user_id, t.event_type,
+                   (SELECT count(*) FROM events e
+                    WHERE e.user_id = u.user_id
+                      AND e.event_type = t.event_type) AS est_count
+            FROM u CROSS JOIN t
         """,
         "expiring_known": """
             WITH e AS (

@@ -32,6 +32,7 @@ from .probe import with_membership, with_estimated_count
 from .grouped import (
     build_bloom_per_group,
     build_counting_per_group,
+    with_group_estimated_count,
     with_group_membership,
 )
 from .checkpoint import (
@@ -40,6 +41,15 @@ from .checkpoint import (
     load as load_checkpoint,
     load_counting as load_counting_checkpoint,
 )
+from .sketches import (
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    TDigest,
+    build_sketch,
+    build_sketch_checkpointed,
+)
+from .sources import read_table, source_code_table
 
 __all__ = [
     "build_bloom",
@@ -56,6 +66,15 @@ __all__ = [
     "load_checkpoint",
     "load_counting_checkpoint",
     "with_group_membership",
+    "with_group_estimated_count",
+    "HyperLogLog",
+    "CountMinSketch",
+    "TDigest",
+    "KLLSketch",
+    "build_sketch",
+    "build_sketch_checkpointed",
+    "source_code_table",
+    "read_table",
     "FilterConfig",
     "BloomFilter",
     "CountingBloomFilter",

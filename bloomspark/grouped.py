@@ -215,6 +215,65 @@ def collect_group_filters(grouped: DataFrame, config: FilterConfig) -> dict:
     }
 
 
+def collect_group_counting_filters(grouped: DataFrame, config: FilterConfig) -> dict:
+    """Collect a per-group counting build into {group: CountingBloomFilter}."""
+    from .counting import CountingBloomFilter
+
+    pdf = grouped.select("group", "counters").toPandas()
+    return {
+        g: CountingBloomFilter.from_bytes(config, bytes(b))
+        for g, b in zip(pdf["group"], pdf["counters"])
+    }
+
+
+def with_group_estimated_count(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    grouped_counters: DataFrame,
+    config: FilterConfig,
+    *,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Per-tenant frequency probe: estimate each row's key count against
+    ITS OWN group's counting filter (the counting sibling of
+    :func:`with_group_membership`; reference analog: pipelined bulk
+    getEstimatedCount, redis/CountingBloomFilterRedis.java:159-165, at
+    per-group granularity).  Same broadcast-dict shape — counters travel
+    once per executor, never as a per-row column; missing groups
+    estimate 0."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .counting import counter_dtype
+    from .hashing import get_hash_fn
+
+    m, k, method = config.m, config.k, config.hash_method
+    dt = counter_dtype(config.counting_bits)
+    fdf = grouped_counters.select("group", "counters").toPandas()
+    table = {g: bytes(b) for g, b in zip(fdf["group"], fdf["counters"])}
+    bc = df.sparkSession.sparkContext.broadcast(table)
+
+    @pandas_udf("long")
+    def probe(groups: pd.Series, keys: pd.Series) -> pd.Series:
+        counters_by_group = bc.value
+        kb = _series_to_keys(keys)
+        pos = get_hash_fn(method)(kb, m, k)
+        out = np.zeros(len(keys), dtype=np.int64)
+        codes, uniques = pd.factorize(groups)
+        for ui, g in enumerate(uniques):
+            raw = counters_by_group.get(g)
+            if raw is None:
+                continue
+            idx = np.nonzero(codes == ui)[0]
+            counters = np.frombuffer(raw, dtype=dt)
+            out[idx] = counters[pos[idx]].min(axis=1).astype(np.int64)
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col, probe(F.col(group_col).cast("string"), key_column(key_col))
+    )
+
+
 def with_group_membership(
     df: DataFrame,
     group_col: str,

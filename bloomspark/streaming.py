@@ -348,6 +348,76 @@ def streaming_bloom_build(
     return writer.start()
 
 
+def streaming_sketch_build(
+    stream_df: DataFrame,
+    col: str,
+    sketch,
+    checkpoint_dir: str,
+    *,
+    query_name: str = "bloomspark-sketch-stream",
+    trigger: Optional[dict] = None,
+):
+    """Maintain a mergeable sketch (HLL / CMS / t-digest / KLL) over a
+    stream with foreachBatch: each micro-batch runs the same distributed
+    partial build and merges into ``<checkpoint_dir>/state.bin``
+    (atomic replace), always loadable via :func:`load_sketch_state`.
+
+    Restart semantics follow the sketch's merge algebra: foreachBatch
+    is at-least-once, so a replayed batch RE-MERGES.  For idempotent
+    merges (HLL register max) that is exact; for additive merges (CMS,
+    t-digest, KLL weights) a replayed batch double-counts — the same
+    caveat as any non-idempotent at-least-once sink, documented rather
+    than hidden.
+    """
+    import json
+
+    from .sketches import build_sketch
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state_path = os.path.join(checkpoint_dir, "state.bin")
+    meta_path = os.path.join(checkpoint_dir, "sketch.json")
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            json.dump({"sketch": sketch.describe()}, f)
+    else:
+        meta = json.load(open(meta_path))
+        if meta["sketch"] != sketch.describe():
+            raise ValueError(
+                f"checkpoint holds {meta['sketch']}, got {sketch.describe()}"
+            )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        handle = build_sketch(batch_df, col, sketch)
+        state = handle.state
+        if os.path.exists(state_path):
+            with open(state_path, "rb") as f:
+                state = sketch.merge_states(state, sketch.deserialize(f.read()))
+        tmp = state_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(sketch.serialize(state))
+        os.replace(tmp, state_path)
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "_spark"))
+        .foreachBatch(process_batch)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def load_sketch_state(sketch, checkpoint_dir: str):
+    """Load the current merged state of a streaming sketch build (None
+    before the first batch commits)."""
+    state_path = os.path.join(checkpoint_dir, "state.bin")
+    if not os.path.exists(state_path):
+        return None
+    with open(state_path, "rb") as f:
+        return sketch.deserialize(f.read())
+
+
 def expiring_membership_stream(
     events: DataFrame,
     *,

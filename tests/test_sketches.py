@@ -174,3 +174,46 @@ def test_source_code_sha_and_sketches(spark):
     true = np.array(list(repo_counts.values()))
     assert (est >= true).all()
     assert (est - true).max() <= cms.error_bound(c.state) + 1
+
+
+def test_streaming_hll_build(spark, tmp_path):
+    """foreachBatch sketch maintenance: a file-source stream of key
+    batches merges into a durable HLL whose estimate tracks the exact
+    distinct count (max-merge makes replays exact)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloomspark.sketches import HyperLogLog
+    from bloomspark.streaming import load_sketch_state, streaming_sketch_build
+
+    src = tmp_path / "keys_src"
+    src.mkdir()
+    hll = HyperLogLog(p=12)
+
+    def write_batch(name, lo, hi):
+        pq.write_table(
+            pa.table({"key": pa.array([f"k{i}" for i in range(lo, hi)])}),
+            str(src / name),
+        )
+
+    write_batch("b1.parquet", 0, 30_000)
+    stream = spark.readStream.schema("key string").parquet(str(src))
+    q = streaming_sketch_build(stream, "key", hll, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        st1 = load_sketch_state(hll, str(tmp_path / "ck"))
+        est1 = hll.estimate(st1)
+        assert abs(est1 - 30_000) / 30_000 < 3 * 1.04 / np.sqrt(2**12)
+        # second batch overlaps the first: distinct only grows to 50k
+        write_batch("b2.parquet", 20_000, 50_000)
+        q.processAllAvailable()
+        st2 = load_sketch_state(hll, str(tmp_path / "ck"))
+        est2 = hll.estimate(st2)
+        assert abs(est2 - 50_000) / 50_000 < 3 * 1.04 / np.sqrt(2**12)
+    finally:
+        q.stop()
+    # config mismatch is rejected on resume
+    with pytest.raises(ValueError):
+        streaming_sketch_build(
+            stream, "key", HyperLogLog(p=11), str(tmp_path / "ck")
+        )
