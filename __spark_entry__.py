@@ -526,6 +526,24 @@ def q_events_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The never-collected filter tier (sharded.py): lineitem orderkeys
+    sharded into 16 independent bitsets (the TB-scale shape where no
+    single filter fits a driver/broadcast), probed by co-partitioning
+    orders on the shard id — bitsets cross the wire once per job, not
+    per probe row."""
+    from bloomspark.sharded import build_sharded_bloom, with_sharded_membership
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    n, num_shards = lineitem.count(), 16
+    cfg = FilterConfig.complete(n=max(n // num_shards, 100), p=EXACT_P)
+    shards = build_sharded_bloom(lineitem, "l_orderkey", cfg, num_shards=num_shards)
+    return with_sharded_membership(
+        orders.select("o_orderkey"), "o_orderkey", shards, cfg, num_shards=num_shards
+    ).select("o_orderkey", "member")
+
+
 def q_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tenant frequency probe: one counting filter per event_type
     (salted two-phase build), each (user, type) grid row's count
@@ -634,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_users": q_events_error_users,
         "grouped_membership": q_grouped_membership,
         "grouped_counts": q_grouped_counts,
+        "sharded_membership": q_sharded_membership,
         "expiring_known": q_expiring_known,
     }
 
@@ -918,6 +937,11 @@ def oracle_sql() -> dict[str, str]:
                    user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
                        AS had_error
             FROM (SELECT DISTINCT user_id FROM events)
+        """,
+        "sharded_membership": """
+            SELECT o_orderkey,
+                   o_orderkey IN (SELECT l_orderkey FROM lineitem) AS member
+            FROM orders
         """,
         "grouped_counts": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

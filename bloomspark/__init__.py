@@ -49,6 +49,7 @@ from .sketches import (
     build_sketch,
     build_sketch_checkpointed,
 )
+from .sharded import build_sharded_bloom, with_sharded_membership
 from .sources import read_table, source_code_table
 
 __all__ = [
@@ -73,6 +74,8 @@ __all__ = [
     "KLLSketch",
     "build_sketch",
     "build_sketch_checkpointed",
+    "build_sharded_bloom",
+    "with_sharded_membership",
     "source_code_table",
     "read_table",
     "FilterConfig",

@@ -1,0 +1,116 @@
+"""Sharded Bloom filters: the scale tier where ONE filter no longer fits.
+
+At 10^12 keys / p=0.01 a single filter needs ~10^13 bits (1.25 TB) —
+too big for any driver or broadcast, extended-m or not.  The sharded
+form keeps the filter AS A DATAFRAME: shard s owns the keys with
+``pmod(xxhash64(key), S) == s`` and holds an independent bitset sized
+for n/S keys.  Nothing is ever collected:
+
+- **build** = the salted per-group build (grouped.py) with the shard id
+  as the group — one shuffle of (key, shard), bitsets stay distributed;
+- **probe** = co-partition probes and shards on the shard id and test
+  each partition's probe rows against its ONE local bitset via
+  ``cogroup().applyInPandas``.  Each bitset crosses the wire once per
+  probe job (S rows total), never once per probe row — the shape that
+  survives a TB-scale filter, unlike a broadcast (too big) or a plain
+  join (bitset duplicated onto every probe row).
+
+FPP math: each shard is sized for its expected n/S keys with the same
+p, so the union behaves like one optimal m*S-bit filter; xxhash64
+sharding keeps shard loads within ~sqrt(S/n) of even, and the salted
+two-phase build handles any residual skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .build import _series_to_keys, key_column
+from .grouped import build_bloom_per_group
+from .params import FilterConfig
+
+
+def shard_column(key_col: str, num_shards: int):
+    return F.pmod(F.xxhash64(key_column(key_col)), F.lit(num_shards))
+
+
+def build_sharded_bloom(
+    df: DataFrame,
+    col: str,
+    shard_config: FilterConfig,
+    *,
+    num_shards: int = 64,
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """Distributed filter as a DataFrame (shard, rows, ones, bitset).
+
+    ``shard_config`` sizes ONE shard — use
+    ``FilterConfig.complete(n=total_n // num_shards, p=p)``.
+    """
+    sharded = df.select(
+        key_column(col).alias("__key"),
+        shard_column(col, num_shards).cast("string").alias("__shard"),
+    )
+    out = build_bloom_per_group(
+        sharded, "__shard", "__key", shard_config, salt_partitions=salt_partitions
+    )
+    return out.select(
+        F.col("group").cast("long").alias("shard"), "rows", "ones", "bitset"
+    )
+
+
+def with_sharded_membership(
+    df: DataFrame,
+    col: str,
+    shards: DataFrame,
+    shard_config: FilterConfig,
+    *,
+    num_shards: int = 64,
+    out_col: str = "member",
+) -> DataFrame:
+    """Probe every row of ``df`` against the sharded filter.
+
+    Plan shape: both sides shuffle ONCE on the shard id (the probe rows
+    by their key's shard, the S bitset rows by shard), then a cogroup
+    tests each shard's probe batch against its single local bitset —
+    the bitset appears once per task, never as a per-row column.
+    Shards absent from ``shards`` probe False.
+    """
+    from .filter import test_positions
+    from .hashing import get_hash_fn
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    m, k, method = shard_config.m, shard_config.k, shard_config.hash_method
+    # StructType.add mutates in place — build a fresh schema instead of
+    # appending to the DataFrame's cached one
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+    # the probe key travels pre-cast by Spark (key_column), so pandas
+    # string formatting can never diverge from the build's cast
+    probe_side = df.withColumn("__key", key_column(col)).withColumn(
+        "__shard", shard_column(col, num_shards)
+    )
+    shard_side = shards.select(F.col("shard").alias("__shard"), "bitset")
+    orig_cols = df.columns
+
+    def probe(pdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        result = np.zeros(len(pdf), dtype=bool)
+        if len(pdf) and len(sdf):
+            bits = np.frombuffer(bytes(sdf["bitset"].iloc[0]), dtype=np.uint8)
+            keys = _series_to_keys(pdf["__key"])
+            pos = get_hash_fn(method)(keys, m, k)
+            result = test_positions(bits, pos)
+        out = pdf[orig_cols].copy()
+        out[out_col] = result
+        return out
+
+    return (
+        probe_side.groupBy("__shard")
+        .cogroup(shard_side.groupBy("__shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )
