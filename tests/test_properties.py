@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the driver-side filter algebra
+and the hash suite — laws that must hold for ARBITRARY inputs, not just
+the fixtures: no false negatives, union/intersect monotonicity, counting
+add/remove inversion, serde identity, position ranges for every method.
+All pure driver-side (no Spark session), so the whole module runs in
+seconds."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from bloomspark import BloomFilter, CountingBloomFilter, FilterConfig
+from bloomspark.hashing import _REGISTRY, hash_positions
+
+#: text keys incl. unicode, the 127/255 perturbation edges, empties
+KEYS = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+CFG = FilterConfig.complete(n=500, p=0.01)
+CCFG = FilterConfig.complete(n=500, p=0.01, counting_bits=16)
+
+
+@settings(max_examples=30, deadline=None)
+@given(KEYS)
+def test_no_false_negatives(keys):
+    bf = BloomFilter(CFG)
+    bf.add_all(keys)
+    assert bool(bf.contains_all(keys).all())
+
+
+@settings(max_examples=25, deadline=None)
+@given(KEYS, KEYS)
+def test_union_intersect_monotonicity(a, b):
+    fa, fb = BloomFilter(CFG), BloomFilter(CFG)
+    fa.add_all(a)
+    fb.add_all(b)
+    u = fa.union(fb)
+    # union contains everything either side contains (bitwise superset)
+    assert bool(u.contains_all(a).all()) and bool(u.contains_all(b).all())
+    assert not np.any(np.frombuffer(fa.to_bytes(), np.uint8) & ~np.frombuffer(u.to_bytes(), np.uint8))
+    # intersect is a bitwise subset of both
+    i = fa.intersect(fb)
+    ib = np.frombuffer(i.to_bytes(), np.uint8)
+    assert not np.any(ib & ~np.frombuffer(fa.to_bytes(), np.uint8))
+    assert not np.any(ib & ~np.frombuffer(fb.to_bytes(), np.uint8))
+    # true intersection keys are contained (no false negatives survive AND)
+    both = [k for k in a if k in set(b)]
+    if both:
+        assert bool(i.contains_all(both).all())
+
+
+@settings(max_examples=25, deadline=None)
+@given(KEYS)
+def test_counting_add_remove_inverts(keys):
+    cbf = CountingBloomFilter(CCFG)
+    for key in keys:
+        cbf.add(key)
+    for key in keys:
+        assert cbf.get_estimated_count(key) >= sum(1 for x in keys if x == key)
+    for key in keys:
+        cbf.remove(key)
+    assert int(cbf.counters.sum()) == 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(KEYS)
+def test_json_and_bytes_roundtrip_identity(keys):
+    bf = BloomFilter(CFG)
+    bf.add_all(keys)
+    assert BloomFilter.from_json(bf.to_json()) == bf
+    assert BloomFilter.from_bytes(CFG, bf.to_bytes()) == bf
+
+
+@settings(max_examples=10, deadline=None)
+@given(KEYS)
+def test_all_methods_positions_in_range(keys):
+    m, k = 8143, 4
+    for method in sorted(_REGISTRY):
+        if method == "MD2" and len(keys) > 5:
+            keys = keys[:5]  # pure-Python parity tier, keep it quick
+        pos = hash_positions(keys, m, k, method)
+        assert pos.shape == (len(keys), k), method
+        assert (np.asarray(pos, dtype=np.int64) >= 0).all(), method
+        assert (np.asarray(pos, dtype=np.int64) < m).all(), method
+        # determinism
+        pos2 = hash_positions(keys, m, k, method)
+        assert np.array_equal(np.asarray(pos), np.asarray(pos2)), method
