@@ -35,6 +35,25 @@ GROUPED_SCHEMA = "group string, rows bigint, ones bigint, bitset binary"
 GROUPED_COUNTING_SCHEMA = "group string, rows bigint, nonzero bigint, counters binary"
 
 
+def _factorize_groups(groups: np.ndarray):
+    """(codes, uniques) over a possibly-null object array of group values.
+
+    ``np.unique`` cannot sort None next to str (TypeError); pandas
+    factorize with ``use_na_sentinel=False`` gives nulls their own code,
+    so a null group builds/probes its own filter like any other value
+    (the round-1 ``groupBy().applyInPandas`` behavior).  Uniques are
+    normalized so null is always the Python ``None`` (dict-key stable)."""
+    codes, uniques = pd.factorize(groups, use_na_sentinel=False)
+    normed = [None if (u is None or (isinstance(u, float) and np.isnan(u))) else u
+              for u in uniques]
+    return codes, normed
+
+
+def _group_sort_key(item):
+    # None groups sort last (None is not orderable against str)
+    return (item[0] is None, item[0] or "")
+
+
 def _grouped_stage1_gen(config: FilterConfig):
     """mapInArrow generator over (__group, __key, __salt) batches,
     repartitioned on (__group, __salt): streams batches through one
@@ -69,16 +88,16 @@ def _grouped_stage1_gen(config: FilterConfig):
                 continue
             groups = batch.column(0).to_numpy(zero_copy_only=False)
             pos = hash_fn(keys, m, k)
-            uniq, inv = np.unique(groups, return_inverse=True)
+            codes, uniq = _factorize_groups(groups)
             for gi, g in enumerate(uniq):
-                mask = inv == gi
+                mask = codes == gi
                 st = accs.setdefault(g, [_PositionAccumulator(m, num_bytes), 0])
                 st[0].add(pos[mask])
                 st[1] += int(mask.sum())
         if not accs:
             return
         cols = {"group": [], "rows": [], "ones": [], "bitset": []}
-        for g, (acc, rows) in sorted(accs.items()):
+        for g, (acc, rows) in sorted(accs.items(), key=_group_sort_key):
             kind, ones, payload = acc.finish()
             bits = partial_to_bits(kind, payload, config)
             cols["group"].append(g)
@@ -156,9 +175,9 @@ def build_counting_per_group(
                 continue
             groups = batch.column(0).to_numpy(zero_copy_only=False)
             pos = hash_fn(keys, m, k)
-            uniq, inv = np.unique(groups, return_inverse=True)
+            codes, uniq = _factorize_groups(groups)
             for gi, g in enumerate(uniq):
-                mask = inv == gi
+                mask = codes == gi
                 st = states.setdefault(g, [np.zeros(m, dtype=dt), 0])
                 # bincount stays int64: casting to dt BEFORE the add
                 # would wrap (not saturate) counts above the dtype max
@@ -169,7 +188,7 @@ def build_counting_per_group(
         if not states:
             return
         cols = {"group": [], "rows": [], "nonzero": [], "counters": []}
-        for g, (counters, rows) in sorted(states.items()):
+        for g, (counters, rows) in sorted(states.items(), key=_group_sort_key):
             cols["group"].append(g)
             cols["rows"].append(rows)
             cols["nonzero"].append(int(np.count_nonzero(counters)))
@@ -259,7 +278,7 @@ def with_group_estimated_count(
         kb = _series_to_keys(keys)
         pos = get_hash_fn(method)(kb, m, k)
         out = np.zeros(len(keys), dtype=np.int64)
-        codes, uniques = pd.factorize(groups)
+        codes, uniques = _factorize_groups(groups)
         for ui, g in enumerate(uniques):
             raw = counters_by_group.get(g)
             if raw is None:
@@ -317,7 +336,7 @@ def with_group_membership(
         pos = get_hash_fn(method)(kb, m, k)
         out = np.zeros(len(keys), dtype=bool)
         # factorize by group: one vectorized bit-test per distinct filter
-        codes, uniques = pd.factorize(groups)
+        codes, uniques = _factorize_groups(groups)
         for ui, g in enumerate(uniques):
             raw = table.get(g)
             if raw is None:

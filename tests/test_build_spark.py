@@ -222,6 +222,42 @@ def test_group_membership_probe(spark, customer):
     assert pa_.where(F.col("member")).count() == 0
 
 
+def test_grouped_build_and_probe_with_null_groups(spark):
+    """Null group values are a group of their own (ADVICE r2: np.unique
+    raised on None-vs-str when a null group shared an Arrow batch) —
+    build, counting build, and both probes must treat them like any
+    other group value."""
+    from bloomspark.grouped import (
+        with_group_estimated_count,
+        with_group_membership,
+    )
+
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        rows = [("t1", "a"), (None, "b"), ("t2", "c"), (None, "b"), ("t1", "d")]
+        df = spark.createDataFrame(rows, "g string, k string")
+        cfg = FilterConfig.complete(n=100, p=1e-9, counting_bits=16)
+        gf = build_bloom_per_group(df, "g", "k", cfg, salt_partitions=1)
+        got = {r["group"]: r["rows"] for r in gf.collect()}
+        assert got == {"t1": 2, None: 2, "t2": 1}
+        probed = {
+            (r["g"], r["k"]): r["member"]
+            for r in with_group_membership(df, "g", "k", gf, cfg).collect()
+        }
+        assert all(probed.values())  # incl. the null-group rows
+        # a key from another group does NOT probe true in the null group
+        other = spark.createDataFrame([(None, "a")], "g string, k string")
+        assert not with_group_membership(other, "g", "k", gf, cfg).first()["member"]
+        gc = build_counting_per_group(df, "g", "k", cfg, salt_partitions=1)
+        counts = {
+            (r["g"], r["k"]): r["est_count"]
+            for r in with_group_estimated_count(df, "g", "k", gc, cfg).collect()
+        }
+        assert counts[(None, "b")] == 2 and counts[("t1", "a")] == 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
 def test_build_report_metrics(spark, orders):
     from bloomspark import build_bloom, build_bloom_report
 
