@@ -245,6 +245,80 @@ def collect_group_counting_filters(grouped: DataFrame, config: FilterConfig) -> 
     }
 
 
+#: Above this collected-state size the "auto" probe strategy switches
+#: from the broadcast-dict plan to the cogroup plan (driver + every
+#: executor would otherwise hold n_groups x state_bytes resident).
+DEFAULT_MAX_BROADCAST_BYTES = 512 << 20
+
+
+def _resolve_probe_strategy(
+    strategy: str,
+    grouped_state: DataFrame,
+    state_bytes: int,
+    max_broadcast_bytes,
+) -> str:
+    """'auto' -> 'broadcast' | 'cogroup' by estimated collected size.
+
+    The estimate is n_groups x per-group state size (bitset/counters are
+    fixed-width for a given config).  Counting n_groups is one cheap
+    aggregate job over ``grouped_state`` — if the caller didn't persist
+    it, that recomputes its build lineage once; pass an explicit
+    strategy to skip the check entirely."""
+    if strategy != "auto":
+        if strategy not in ("broadcast", "cogroup"):
+            raise ValueError(f"unknown probe strategy {strategy!r}")
+        return strategy
+    if max_broadcast_bytes is None:
+        return "broadcast"
+    n_groups = grouped_state.count()
+    return (
+        "cogroup" if n_groups * state_bytes > max_broadcast_bytes else "broadcast"
+    )
+
+
+def _cogroup_probe(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    grouped_state: DataFrame,
+    state_col: str,
+    out_col: str,
+    out_type,
+    probe_fn,
+) -> DataFrame:
+    """Shared never-collected probe plan: co-partition probe rows and
+    per-group state on the group value and evaluate ``probe_fn`` with
+    each group's single local state row (the sharded.py cogroup shape
+    generalized to arbitrary group columns).  Each group's bitset or
+    counter array crosses the wire once per job — never via the driver,
+    never as a per-row column — so G x state_bytes can exceed any
+    broadcast or driver memory."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, out_type)])
+    probe_side = df.withColumn("__group", F.col(group_col).cast("string")).withColumn(
+        "__key", key_column(key_col)
+    )
+    state_side = grouped_state.select(
+        F.col("group").alias("__group"), F.col(state_col).alias("__state")
+    )
+    orig_cols = df.columns
+
+    def apply(pdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[orig_cols].copy()
+        if len(sdf):
+            out[out_col] = probe_fn(pdf["__key"], bytes(sdf["__state"].iloc[0]))
+        else:
+            out[out_col] = probe_fn(pdf["__key"], None)
+        return out
+
+    return (
+        probe_side.groupBy("__group")
+        .cogroup(state_side.groupBy("__group"))
+        .applyInPandas(apply, schema=out_schema)
+    )
+
+
 def with_group_estimated_count(
     df: DataFrame,
     group_col: str,
@@ -253,14 +327,19 @@ def with_group_estimated_count(
     config: FilterConfig,
     *,
     out_col: str = "est_count",
+    strategy: str = "auto",
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
 ) -> DataFrame:
     """Per-tenant frequency probe: estimate each row's key count against
     ITS OWN group's counting filter (the counting sibling of
     :func:`with_group_membership`; reference analog: pipelined bulk
     getEstimatedCount, redis/CountingBloomFilterRedis.java:159-165, at
-    per-group granularity).  Same broadcast-dict shape — counters travel
-    once per executor, never as a per-row column; missing groups
-    estimate 0."""
+    per-group granularity).  Default broadcast-dict shape — counters
+    travel once per executor, never as a per-row column; missing groups
+    estimate 0.  When the collected counter state would exceed
+    ``max_broadcast_bytes`` (or ``strategy='cogroup'``), routes to the
+    never-collected cogroup plan instead (see
+    :func:`with_group_membership` for the trade-off)."""
     from pyspark.sql.functions import pandas_udf
 
     from .counting import counter_dtype
@@ -268,6 +347,23 @@ def with_group_estimated_count(
 
     m, k, method = config.m, config.k, config.hash_method
     dt = counter_dtype(config.counting_bits)
+    chosen = _resolve_probe_strategy(
+        strategy, grouped_counters, m * dt.itemsize, max_broadcast_bytes
+    )
+    if chosen == "cogroup":
+        from pyspark.sql.types import LongType
+
+        def est(keys: pd.Series, raw):
+            if raw is None:
+                return np.zeros(len(keys), dtype=np.int64)
+            counters = np.frombuffer(raw, dtype=dt)
+            pos = get_hash_fn(method)(_series_to_keys(keys), m, k)
+            return counters[pos].min(axis=1).astype(np.int64)
+
+        return _cogroup_probe(
+            df, group_col, key_col, grouped_counters, "counters",
+            out_col, LongType(), est,
+        )
     fdf = grouped_counters.select("group", "counters").toPandas()
     table = {g: bytes(b) for g, b in zip(fdf["group"], fdf["counters"])}
     bc = df.sparkSession.sparkContext.broadcast(table)
@@ -301,23 +397,37 @@ def with_group_membership(
     config: FilterConfig,
     *,
     out_col: str = "member",
+    strategy: str = "auto",
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
 ) -> DataFrame:
     """Probe each row's key against ITS OWN group's filter.
 
     ``grouped_filters`` is the output of :func:`build_bloom_per_group`
-    with the same ``config``.  The filters table is small (one row per
-    group), so it is collected once on the driver (Arrow ``toPandas``)
-    and broadcast to the executors as a ``{group: bitset}`` dict —
-    exactly like the single-filter probe (probe.py:29-43).  The probe
-    UDF receives ONLY the (group, key) columns; the multi-MB bitsets
-    never appear as a per-row column, so Arrow batch volume is
-    O(rows × key_bytes), not O(rows × m/8).  (Round-1 shipped the
-    bitset per probe row through a broadcast join — petabytes of Arrow
-    traffic at a 10⁹-row grid.)  The plan is a pure scan → Project →
-    ArrowEvalPython: no join, no shuffle.  Rows whose group has no
-    filter probe False.  This is the Spark shape of the reference's
-    pipelined bulk contains (redis/BloomFilterRedis.java:75-97) at
-    per-tenant granularity.
+    with the same ``config``.  Two plans behind one API:
+
+    - ``'broadcast'`` (the default when the state fits): the filters
+      table is collected once on the driver (Arrow ``toPandas``) and
+      broadcast to the executors as a ``{group: bitset}`` dict —
+      exactly like the single-filter probe (probe.py:29-43).  The probe
+      UDF receives ONLY the (group, key) columns; the multi-MB bitsets
+      never appear as a per-row column, so Arrow batch volume is
+      O(rows × key_bytes), not O(rows × m/8).  (Round-1 shipped the
+      bitset per probe row through a broadcast join — petabytes of
+      Arrow traffic at a 10⁹-row grid.)  The plan is a pure scan →
+      Project → ArrowEvalPython: no join, no shuffle.
+    - ``'cogroup'``: neither driver nor executors ever hold all
+      filters; probe rows and filters co-partition on the group and
+      each task sees one group's bitset (the sharded.py plan shape).
+      One shuffle of the probe rows, but G × m/8 resident nowhere.
+
+    ``strategy='auto'`` picks: broadcast while
+    n_groups × num_bytes <= ``max_broadcast_bytes`` (counting the
+    groups costs one aggregate job over ``grouped_filters``; persist it
+    if that lineage is expensive), else cogroup — previously 10k groups
+    × 1.2 MB silently meant ~12 GB on the driver AND in every executor.
+    Rows whose group has no filter probe False.  This is the Spark
+    shape of the reference's pipelined bulk contains
+    (redis/BloomFilterRedis.java:75-97) at per-tenant granularity.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -325,6 +435,23 @@ def with_group_membership(
     from .hashing import get_hash_fn
 
     m, k, method = config.m, config.k, config.hash_method
+    chosen = _resolve_probe_strategy(
+        strategy, grouped_filters, config.num_bytes, max_broadcast_bytes
+    )
+    if chosen == "cogroup":
+        from pyspark.sql.types import BooleanType
+
+        def member(keys: pd.Series, raw):
+            if raw is None:
+                return np.zeros(len(keys), dtype=bool)
+            bits = np.frombuffer(raw, dtype=np.uint8)
+            pos = get_hash_fn(method)(_series_to_keys(keys), m, k)
+            return test_positions(bits, pos)
+
+        return _cogroup_probe(
+            df, group_col, key_col, grouped_filters, "bitset",
+            out_col, BooleanType(), member,
+        )
     fdf = grouped_filters.select("group", "bitset").toPandas()
     filters = {g: bytes(b) for g, b in zip(fdf["group"], fdf["bitset"])}
     bc = df.sparkSession.sparkContext.broadcast(filters)

@@ -16,6 +16,7 @@ from .dedup import (
     simhash_column,
     simhash_near_dups,
     embedding_cosine_pairs,
+    unpersist_intermediates,
 )
 from .simsearch import brute_force_topk, lsh_bucketed_topk
 from .text import (
@@ -33,6 +34,7 @@ __all__ = [
     "simhash_column",
     "simhash_near_dups",
     "embedding_cosine_pairs",
+    "unpersist_intermediates",
     "brute_force_topk",
     "lsh_bucketed_topk",
     "with_language_id",

@@ -263,6 +263,15 @@ def minhash_lsh_pairs(
     ``verify_threshold`` is set, candidates are verified with exact
     n-gram Jaccard and filtered.
     Returns (id_a, id_b [, jaccard]).
+
+    When ``persist_shingles`` is on (the default with verification),
+    the shared shingle scan is cached for the duration of the returned
+    (lazy) DataFrame's consumption; because there is no natural release
+    point inside a lazy plan, the cached partitions stay resident until
+    the session ends or the caller calls
+    :func:`unpersist_intermediates` on the result after consuming it
+    (repeated calls in one long-lived session should do so, or pass
+    ``persist_shingles=False``).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -270,13 +279,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(shingle_column(text_col, n)).alias("shingles"),
     )
+    persisted = None
     if verify_threshold is not None and persist_shingles:
         # the verify stage re-reads the shingle sets for both pair
         # sides; persisting turns 3 source scans + shingle recomputes
         # into 1 (MEMORY_AND_DISK: spills, never OOMs)
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = persisted = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_shingles(sh, num_hashes=num_hashes, seed=seed)
     banded = sigs.select(
         "id",
@@ -320,7 +330,7 @@ def minhash_lsh_pairs(
     # side's shingle set onto the pair and compute exact Jaccard with
     # JVM built-ins (array_intersect) — at scale candidates ≪ all pairs;
     # `sh` is the same (persisted) shingle scan the signatures used
-    return (
+    out = (
         cands.join(
             sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
             "id_a",
@@ -338,6 +348,22 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if persisted is not None:
+        out._bloomspark_persisted = persisted  # release point: unpersist_intermediates
+    return out
+
+
+def unpersist_intermediates(result: DataFrame) -> bool:
+    """Release intermediates cached by a pipeline operator (currently the
+    shared shingle scan of :func:`minhash_lsh_pairs`).  Call AFTER the
+    result DataFrame has been consumed; returns True if anything was
+    unpersisted.  Safe no-op for results without cached intermediates."""
+    handle = getattr(result, "_bloomspark_persisted", None)
+    if handle is None:
+        return False
+    handle.unpersist()
+    result._bloomspark_persisted = None
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +414,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
@@ -396,6 +423,13 @@ def simhash_near_dups(
     least one band, so candidates come from a band-equality join (no
     cross join), then exact popcount verification.
     Returns (id_a, id_b, hamming).
+
+    Band buckets larger than ``max_bucket_size`` are DROPPED (a B-member
+    bucket yields B²/2 candidate pairs in one task), so recall is not
+    exhaustive when one band chunk collides across more than
+    ``max_bucket_size`` documents — the same guard (and the same
+    rationale) as :func:`minhash_lsh_pairs`; raise the limit for small
+    corpora where exhaustive recall matters more than skew safety.
     """
     nbands = max_hamming + 1
     # bands must cover ALL 64 bits for the pigeonhole guarantee; the
@@ -425,7 +459,7 @@ def simhash_near_dups(
     buckets = (
         banded.groupBy("band", "chunk")
         .agg(F.sort_array(F.collect_list(F.struct("id", "fp"))).alias("xs"))
-        .where((F.size("xs") >= 2) & (F.size("xs") <= 1000))
+        .where((F.size("xs") >= 2) & (F.size("xs") <= F.lit(max_bucket_size)))
     )
     pair_expr = F.flatten(
         F.transform(

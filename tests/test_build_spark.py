@@ -222,6 +222,59 @@ def test_group_membership_probe(spark, customer):
     assert pa_.where(F.col("member")).count() == 0
 
 
+def test_group_probe_strategy_routing(spark, customer):
+    """The unified probe API: 'auto' routes to the never-collected
+    cogroup plan when n_groups x state_bytes exceeds the broadcast
+    budget, and both plans return identical results."""
+    from bloomspark.grouped import (
+        build_counting_per_group,
+        with_group_estimated_count,
+        with_group_membership,
+    )
+
+    cfg = FilterConfig.complete(n=500, p=1e-9)
+    gf = build_bloom_per_group(customer, "c_mktsegment", "c_custkey", cfg)
+    gf.persist()
+    try:
+        bcast = with_group_membership(
+            customer, "c_mktsegment", "c_custkey", gf, cfg, strategy="broadcast"
+        )
+        cog = with_group_membership(
+            customer, "c_mktsegment", "c_custkey", gf, cfg, strategy="cogroup"
+        )
+        assert "CoGroup" in cog._jdf.queryExecution().executedPlan().toString()
+        key = lambda rows: sorted((r["c_custkey"], r["member"]) for r in rows)
+        assert key(bcast.collect()) == key(cog.collect())
+        # auto with a 1-byte budget must take the cogroup plan
+        auto = with_group_membership(
+            customer, "c_mktsegment", "c_custkey", gf, cfg, max_broadcast_bytes=1
+        )
+        assert "CoGroup" in auto._jdf.queryExecution().executedPlan().toString()
+        assert key(auto.collect()) == key(bcast.collect())
+    finally:
+        gf.unpersist()
+    ccfg = FilterConfig.complete(n=500, p=1e-9, counting_bits=16)
+    gc = build_counting_per_group(customer, "c_mktsegment", "c_custkey", ccfg)
+    gc.persist()
+    try:
+        a = with_group_estimated_count(
+            customer, "c_mktsegment", "c_custkey", gc, ccfg, strategy="broadcast"
+        )
+        b = with_group_estimated_count(
+            customer, "c_mktsegment", "c_custkey", gc, ccfg, strategy="cogroup"
+        )
+        key = lambda rows: sorted((r["c_custkey"], r["est_count"]) for r in rows)
+        assert key(a.collect()) == key(b.collect())
+    finally:
+        gc.unpersist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        with_group_membership(
+            customer, "c_mktsegment", "c_custkey", gf, cfg, strategy="nope"
+        )
+
+
 def test_grouped_build_and_probe_with_null_groups(spark):
     """Null group values are a group of their own (ADVICE r2: np.unique
     raised on None-vs-str when a null group shared an Arrow batch) —
