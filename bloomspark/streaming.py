@@ -77,6 +77,9 @@ class ExpiringBloomFilter:
             )
         self.writes = write_table
         self.expiration_enabled = expiration_enabled
+        # snapshot memoization (see snapshot_filter)
+        self._snapshots = {}
+        self._cloned = {}
 
     def _with(self, *, ttls=None, writes=None, enabled=None) -> "ExpiringBloomFilter":
         out = ExpiringBloomFilter.__new__(ExpiringBloomFilter)
@@ -85,6 +88,16 @@ class ExpiringBloomFilter:
         out.writes = self.writes if writes is None else writes
         out.expiration_enabled = (
             self.expiration_enabled if enabled is None else enabled
+        )
+        # state is immutable per instance, so memoized snapshots keyed on
+        # (now_ms, grace_ms) stay valid for THIS object; a mutation
+        # returns a new object whose caches start empty — except that
+        # snapshot_filter depends only on ttls and cloned_bloom_filter
+        # only on (writes, enabled), so each cache survives mutations
+        # that leave its input table untouched
+        out._snapshots = self._snapshots if ttls is None else {}
+        out._cloned = (
+            self._cloned if writes is None and enabled is None else {}
         )
         return out
 
@@ -125,8 +138,20 @@ class ExpiringBloomFilter:
         """Counting filter over currently-unexpired keys — the analog of
         getClonedBloomFilter (ExpiringBloomFilterMemory.java:110-112);
         expiry is 'subtract the expired', realized here by rebuilding
-        from the unexpired set (equivalent by merge associativity)."""
-        return build_counting(self.unexpired(now_ms, grace_ms), "key", self.config)
+        from the unexpired set (equivalent by merge associativity).
+
+        Memoized per (now_ms, grace_ms): the reference maintains its CBF
+        incrementally (ExpiringBloomFilterMemory.java:60-70), so a caller
+        probing repeatedly at one evaluation time must not pay a full
+        distributed build per probe — the second ``is_known``/``contains``
+        at the same ``now_ms`` launches zero Spark jobs (instances are
+        immutable, so the cache can never go stale)."""
+        key = (int(now_ms), int(grace_ms))
+        hit = self._snapshots.get(key)
+        if hit is None:
+            hit = build_counting(self.unexpired(now_ms, grace_ms), "key", self.config)
+            self._snapshots[key] = hit
+        return hit
 
     def is_known(self, keys: DataFrame, key_col: str, now_ms: int, grace_ms: int = 0) -> DataFrame:
         """Membership column against the unexpired population (isKnown
@@ -197,13 +222,19 @@ class ExpiringBloomFilter:
         ExpiringBloomFilterMemory.java:110-112).  With expiration
         disabled the queue stops draining, so expired writes REMAIN
         contained until re-enabled (ExpirationQueue.setEnabled,
-        ExpirationQueue.java:48-65)."""
-        live = (
-            self.writes
-            if not self.expiration_enabled
-            else self.writes.where(F.col("expires_at_ms") > now_ms)
-        )
-        return build_counting(live, "key", self.config).to_bloom_filter()
+        ExpirationQueue.java:48-65).  Memoized per now_ms like
+        :meth:`snapshot_filter`."""
+        key = int(now_ms)
+        hit = self._cloned.get(key)
+        if hit is None:
+            live = (
+                self.writes
+                if not self.expiration_enabled
+                else self.writes.where(F.col("expires_at_ms") > now_ms)
+            )
+            hit = build_counting(live, "key", self.config).to_bloom_filter()
+            self._cloned[key] = hit
+        return hit
 
     def contains(self, keys: DataFrame, key_col: str, now_ms: int) -> DataFrame:
         """Membership column against the written-and-unexpired set (the

@@ -51,6 +51,38 @@ def test_remaining_ttl(spark):
     assert got2["k"] is None
 
 
+def test_snapshot_memoized_no_jobs_on_repeat_probe(spark):
+    """Repeated probes at one now_ms must not rebuild the counting
+    filter (the reference maintains it incrementally,
+    ExpiringBloomFilterMemory.java:60-70): the second is_known/contains
+    at the same (now_ms, grace_ms) launches ZERO Spark jobs."""
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("a", 1000, 500), ("b", 1200, 500)]), CFG
+    )
+    ebf = ebf.report_write(
+        spark.createDataFrame([("a", 1100)], "key string, ts_ms long")
+    )
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "key string")
+    first = {r["key"]: r["known"] for r in ebf.is_known(keys, "key", 1300).collect()}
+    ebf.contains(keys, "key", 1300)  # populate the cloned-filter cache too
+    sc = spark.sparkContext
+    sc.setJobGroup("memo-probe", "repeat probes at the same now_ms")
+    try:
+        again = ebf.is_known(keys, "key", 1300)  # lazy: must launch no job
+        ebf.contains(keys, "key", 1300)
+        assert list(sc.statusTracker().getJobIdsForGroup("memo-probe")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert {r["key"]: r["known"] for r in again.collect()} == first
+    # a different now_ms is a different snapshot
+    assert not ebf.snapshot_filter(5000).contains("a")
+    # mutating the TTL table invalidates: the new instance rebuilds
+    ebf2 = ebf.report_read(_reads(spark, [("c", 1250, 500)]))
+    assert ebf2.snapshot_filter(1300).contains("c")
+    assert not ebf.snapshot_filter(1300).contains("c")
+
+
 def test_report_read_extends(spark):
     ebf = ExpiringBloomFilter.from_reads(_reads(spark, [("k", 0, 100)]), CFG)
     ebf2 = ebf.report_read(_reads(spark, [("k", 150, 100)]))
