@@ -197,12 +197,14 @@ def q_hash_golden_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hash_goldens_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden positions of foo/bar at (m=8143, k=3) for ALL 14
-    HashProvider methods (HashProvider.java:411-493).  The MD5 values
-    are a subset of the reference-derived k=6 goldens
+    HashProvider methods (HashProvider.java:411-493) plus the
+    Spark-native XXHash64KM fast-tier method.  The MD5 values are a
+    subset of the reference-derived k=6 goldens
     (CountingBloomFilterMemoryTest.java:71-133); the rest freeze this
     repo's Java-parity implementations (each independently covered by
     tests/test_hashing.py: Guava murmur vectors, RFC1319 MD2, chi²
-    uniformity) against regression."""
+    uniformity; XXHash64KM parity vs F.xxhash64 in tests/test_fast.py)
+    against regression."""
     from bloomspark.hashing import _REGISTRY, hash_positions
 
     rows = []
@@ -526,6 +528,24 @@ def q_events_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fast_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native fast tier (fast.py): positions as xxhash64 expressions,
+    bit_or word aggregation, broadcast-join probe — zero Python workers
+    end to end.  At p=1e-9 membership equals the exact IN, so the DuckDB
+    oracle is a plain subquery."""
+    from bloomspark.fast import build_fast_bloom, with_fast_membership
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cfg = FilterConfig.complete(
+        n=max(lineitem.count(), 1), p=EXACT_P, hash_method="XXHash64KM"
+    )
+    bf = build_fast_bloom(lineitem, "l_orderkey", cfg)
+    return with_fast_membership(
+        orders.select("o_orderkey"), "o_orderkey", bf, cfg
+    ).select("o_orderkey", "member")
+
+
 def q_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The never-collected filter tier (sharded.py): lineitem orderkeys
     sharded into 16 independent bitsets (the TB-scale shape where no
@@ -653,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_membership": q_grouped_membership,
         "grouped_counts": q_grouped_counts,
         "sharded_membership": q_sharded_membership,
+        "fast_membership": q_fast_membership,
         "expiring_known": q_expiring_known,
     }
 
@@ -746,7 +767,9 @@ def oracle_sql() -> dict[str, str]:
                 ('SHA384', 'foo', 408), ('SHA384', 'foo', 2302), ('SHA384', 'foo', 8063),
                 ('SHA384', 'bar', 4372), ('SHA384', 'bar', 7211), ('SHA384', 'bar', 7380),
                 ('SHA512', 'foo', 411), ('SHA512', 'foo', 5591), ('SHA512', 'foo', 7159),
-                ('SHA512', 'bar', 2477), ('SHA512', 'bar', 2673), ('SHA512', 'bar', 3288)
+                ('SHA512', 'bar', 2477), ('SHA512', 'bar', 2673), ('SHA512', 'bar', 3288),
+                ('XXHash64KM', 'foo', 1249), ('XXHash64KM', 'foo', 6714), ('XXHash64KM', 'foo', 8053),
+                ('XXHash64KM', 'bar', 769), ('XXHash64KM', 'bar', 2450), ('XXHash64KM', 'bar', 5681)
             ) AS t(method, key, position)
         """,
         "json_roundtrip": """
@@ -939,6 +962,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT user_id FROM events)
         """,
         "sharded_membership": """
+            SELECT o_orderkey,
+                   o_orderkey IN (SELECT l_orderkey FROM lineitem) AS member
+            FROM orders
+        """,
+        "fast_membership": """
             SELECT o_orderkey,
                    o_orderkey IN (SELECT l_orderkey FROM lineitem) AS member
             FROM orders

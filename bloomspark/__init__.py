@@ -50,6 +50,12 @@ from .sketches import (
     build_sketch_checkpointed,
 )
 from .sharded import build_sharded_bloom, with_sharded_membership
+from .fast import (
+    build_fast_bloom,
+    fast_bloom_words,
+    with_fast_membership,
+    words_from_bloom,
+)
 from .sources import read_table, source_code_table
 
 __all__ = [
@@ -76,6 +82,10 @@ __all__ = [
     "build_sketch_checkpointed",
     "build_sharded_bloom",
     "with_sharded_membership",
+    "build_fast_bloom",
+    "fast_bloom_words",
+    "with_fast_membership",
+    "words_from_bloom",
     "source_code_table",
     "read_table",
     "FilterConfig",

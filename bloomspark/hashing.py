@@ -1224,6 +1224,139 @@ def positions_murmur2(keys, m: int, k: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# XXHash64 (Spark-native parity) — the fast-mode membership tier's hash.
+#
+# NOT part of the reference's HashProvider suite: this method exists so
+# the 100-TB hot path can compute positions entirely JVM-side
+# (pyspark.sql.functions.xxhash64 in whole-stage codegen, bloomspark/
+# fast.py) while the driver-side library still understands the same
+# filters.  These numpy kernels replicate Spark's XXH64
+# (spark/common/unsafe .../hash/XXH64.java — standard xxHash64, seed 42
+# for the first column, previous hash as the seed of the next), parity
+# verified against F.xxhash64 in tests/test_fast.py.
+# ---------------------------------------------------------------------------
+
+_XP1 = _U64(0x9E3779B185EBCA87)
+_XP2 = _U64(0xC2B2AE3D27D4EB4F)
+_XP3 = _U64(0x165667B19E3779F9)
+_XP4 = _U64(0x85EBCA77C2B2AE63)
+_XP5 = _U64(0x27D4EB2F165667C5)
+
+#: Spark's fixed xxhash64 seed (Murmur3Hash/XxHash64 expressions use 42).
+XXH64_SPARK_SEED = 42
+
+#: Constant second column of the fast tier's h2 = xxhash64(key, lit(C)):
+#: any fixed long works (h2 is a full-avalanche mix of h1); this one is
+#: xxHash's PRIME64_5, chosen to be odd and < 2^63 (Spark long literal).
+FAST_SEED2 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def _xxh_round(acc, inp):
+    acc = acc + inp * _XP2
+    acc = _rotl64(acc, 31)
+    return acc * _XP1
+
+
+def _xxh_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> _U64(33))
+    h = h * _XP2
+    h = h ^ (h >> _U64(29))
+    h = h * _XP3
+    h = h ^ (h >> _U64(32))
+    return h
+
+
+def _xxh64_matrix(mat: np.ndarray, seed: int) -> np.ndarray:
+    """xxHash64 of N same-length byte rows -> uint64[N], whole-batch."""
+    n, L = mat.shape
+    s = _U64(seed)
+    with np.errstate(over="ignore"):
+        if L >= 32:
+            v1 = np.full(n, s + _XP1 + _XP2, dtype=_U64)
+            v2 = np.full(n, s + _XP2, dtype=_U64)
+            v3 = np.full(n, s, dtype=_U64)
+            v4 = np.full(n, s - _XP1, dtype=_U64)
+            nstripes = L // 32
+            lanes = np.ascontiguousarray(mat[:, : nstripes * 32]).view("<u8")
+            for st in range(nstripes):
+                v1 = _xxh_round(v1, lanes[:, 4 * st])
+                v2 = _xxh_round(v2, lanes[:, 4 * st + 1])
+                v3 = _xxh_round(v3, lanes[:, 4 * st + 2])
+                v4 = _xxh_round(v4, lanes[:, 4 * st + 3])
+            h = _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+            for v in (v1, v2, v3, v4):
+                h = (h ^ _xxh_round(np.zeros(n, dtype=_U64), v)) * _XP1 + _XP4
+            off = nstripes * 32
+        else:
+            h = np.full(n, s + _XP5, dtype=_U64)
+            off = 0
+        h = h + _U64(L)
+        rem = L - off
+        while rem >= 8:
+            k1 = np.ascontiguousarray(mat[:, off : off + 8]).view("<u8")[:, 0]
+            h = h ^ _xxh_round(np.zeros(n, dtype=_U64), k1)
+            h = _rotl64(h, 27) * _XP1 + _XP4
+            off += 8
+            rem -= 8
+        if rem >= 4:
+            k1 = np.ascontiguousarray(mat[:, off : off + 4]).view("<u4")[:, 0].astype(_U64)
+            h = h ^ (k1 * _XP1)
+            h = _rotl64(h, 23) * _XP2 + _XP3
+            off += 4
+            rem -= 4
+        while rem:
+            h = h ^ (mat[:, off].astype(_U64) * _XP5)
+            h = _rotl64(h, 11) * _XP1
+            off += 1
+            rem -= 1
+    return _xxh_fmix(h)
+
+
+def xxh64(keys, seed: int = XXH64_SPARK_SEED) -> np.ndarray:
+    """Vectorized xxHash64 over a Keys batch -> uint64 array whose bit
+    pattern equals Spark's ``F.xxhash64(string_col)`` signed long."""
+    keys = as_keys(keys)
+    out = np.empty(len(keys), dtype=_U64)
+    for idx, mat in _group_by_length(keys):
+        out[idx] = _xxh64_matrix(mat, seed)
+    return out
+
+
+def xxh64_hash_long(value: int, seeds: np.ndarray) -> np.ndarray:
+    """xxHash64 of ONE 8-byte little-endian long under per-row seeds —
+    Spark's XXH64.hashLong, i.e. how ``F.xxhash64(key, lit(value))``
+    folds the constant second column into the running hash."""
+    with np.errstate(over="ignore"):
+        k1 = _xxh_round(np.zeros(1, dtype=_U64), np.full(1, value & 0xFFFFFFFFFFFFFFFF, dtype=_U64))[0]
+        h = seeds.astype(_U64) + _XP5 + _U64(8)
+        h = h ^ k1
+        h = _rotl64(h, 27) * _XP1 + _XP4
+    return _xxh_fmix(h)
+
+
+def positions_xxh64km(keys, m: int, k: int) -> np.ndarray:
+    """Fast-tier positions: Kirsch-Mitzenmacher over Spark-native hashes.
+
+    h1 = xxhash64(key), h2 = xxhash64(key, lit(FAST_SEED2)); positions
+    are pmod(pmod(h1, m) + i * pmod(h2|1, m), m) — reduced mod m BEFORE
+    the multiply so the identical arithmetic is expressible as Spark
+    long expressions without ANSI overflow (fast.py builds exactly this
+    expression tree; equality is asserted in tests/test_fast.py)."""
+    keys = as_keys(keys)
+    h1 = xxh64(keys)
+    h2 = xxh64_hash_long(FAST_SEED2, h1)
+    # signed-long pmod: numpy's % already yields the sign of the divisor
+    a = h1.view(np.int64) % m
+    b = (h2 | _U64(1)).view(np.int64) % m
+    i_arr = np.arange(k, dtype=np.int64)[None, :]
+    return (a[:, None] + i_arr * b[:, None]) % m
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1244,6 +1377,7 @@ _REGISTRY: Dict[str, HashFn] = {
     "RNG": positions_rng,
     "CarterWegman": positions_carter_wegman,
     "Murmur2": positions_murmur2,
+    "XXHash64KM": positions_xxh64km,
 }
 
 

@@ -32,7 +32,13 @@ HASH_METHODS = (
     "SHA256",
     "SHA384",
     "SHA512",
+    # Spark-native fast tier (no reference analog): positions computable
+    # as JVM expressions — see bloomspark/fast.py and hashing.xxh64.
+    "XXHash64KM",
 )
+
+#: Methods with a 64-bit position path (extended-m mode support).
+_EXTENDED_METHODS = ("Murmur3KirschMitzenmacher", "XXHash64KM")
 
 DEFAULT_HASH_METHOD = "Murmur3KirschMitzenmacher"  # FilterBuilder.java:40-41
 DEFAULT_COUNTING_BITS = 16  # FilterBuilder.java:33
@@ -132,10 +138,10 @@ class FilterConfig:
                 "pass extended=True for the 64-bit mode, or shard"
             )
         if extended:
-            if hash_method != DEFAULT_HASH_METHOD:
+            if hash_method not in _EXTENDED_METHODS:
                 raise ValueError(
                     "extended (64-bit m) mode supports only the "
-                    "Murmur3KirschMitzenmacher hash method"
+                    f"{_EXTENDED_METHODS} hash methods"
                 )
             if m > 2**46:
                 raise ValueError(f"m={m} exceeds the extended-mode cap 2^46")

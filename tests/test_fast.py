@@ -1,0 +1,177 @@
+"""JVM-native fast-mode membership tier (bloomspark/fast.py).
+
+The contract under test: the native expression tree (xxhash64 KM double
+hashing, bit_or word aggregation, broadcast-join probe) is bit-identical
+to the numpy replica registered as hash method "XXHash64KM" — so fast
+filters interoperate with every driver-side operator — and its plans
+never touch a Python worker."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomspark import BloomFilter, FilterConfig, build_bloom
+from bloomspark.fast import (
+    build_fast_bloom,
+    fast_bloom_words,
+    fast_position_cols,
+    with_fast_membership,
+    words_from_bloom,
+)
+from bloomspark.hashing import (
+    FAST_SEED2,
+    Keys,
+    positions_xxh64km,
+    xxh64,
+    xxh64_hash_long,
+)
+from bloomspark.probe import with_membership
+
+CFG = FilterConfig.complete(n=20_000, p=0.01, hash_method="XXHash64KM")
+
+#: Edge lengths around every xxh64 block boundary (32-byte stripes,
+#: 8-byte lanes, 4-byte chunk, byte tail) plus multi-byte UTF-8.
+SAMPLES = [
+    "", "a", "abc", "foo", "bar", "1234567", "12345678", "123456789",
+    "x" * 31, "x" * 32, "x" * 33, "y" * 63, "y" * 64, "y" * 65,
+    "unicode-éß中文🙂", "key with spaces and\ttabs",
+]
+
+
+def test_xxh64_matches_spark_native(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], "s string")
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("h1"),
+        F.xxhash64("s", F.lit(FAST_SEED2)).alias("h2"),
+    ).collect()
+    keys = Keys.from_objects(SAMPLES)
+    h1 = xxh64(keys).view(np.int64)
+    h2 = xxh64_hash_long(FAST_SEED2, xxh64(keys)).view(np.int64)
+    by_s = {r["s"]: (r["h1"], r["h2"]) for r in rows}
+    for i, s in enumerate(SAMPLES):
+        assert by_s[s] == (h1[i], h2[i]), repr(s)
+
+
+def test_position_exprs_match_numpy_replica(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], "s string")
+    cols = [c.alias(f"p{i}") for i, c in enumerate(fast_position_cols("s", CFG))]
+    got = df.select("s", *cols).collect()
+    keys = Keys.from_objects(SAMPLES)
+    exp = positions_xxh64km(keys, CFG.m, CFG.k)
+    by_s = {r["s"]: [r[f"p{i}"] for i in range(CFG.k)] for r in got}
+    for i, s in enumerate(SAMPLES):
+        assert by_s[s] == exp[i].tolist(), repr(s)
+
+
+def test_native_build_byte_identical_to_arrow_build(spark, orders):
+    native = build_fast_bloom(orders, "o_orderkey", CFG)
+    arrow = build_bloom(orders, "o_orderkey", CFG)
+    assert native.to_bytes() == arrow.to_bytes()
+    # ...which transitively proves the bit/word layout convention
+
+
+def test_native_probe_agrees_with_all_probe_tiers(spark, orders, customer):
+    bf = build_fast_bloom(orders, "o_custkey", CFG)
+    native = {
+        r["c_custkey"]: r["member"]
+        for r in with_fast_membership(customer, "c_custkey", bf, CFG).collect()
+    }
+    pandas_tier = {
+        r["c_custkey"]: r["member"]
+        for r in with_membership(customer, "c_custkey", bf).collect()
+    }
+    assert native == pandas_tier
+    for key, got in list(native.items())[:100]:
+        assert got == bf.contains(str(key))
+
+
+def test_fast_fpp_and_no_false_negatives(spark):
+    n = 30_000
+    cfg = FilterConfig.complete(n=n, p=0.01, hash_method="XXHash64KM")
+    inserted = spark.range(n).select(F.concat(F.lit("k"), "id").alias("s"))
+    bf = build_fast_bloom(inserted, "s", cfg)
+    probe_in = with_fast_membership(inserted, "s", bf, cfg)
+    assert probe_in.where(~F.col("member")).count() == 0
+    disjoint = spark.range(3 * n).select(F.concat(F.lit("no"), "id").alias("s"))
+    fps = with_fast_membership(disjoint, "s", bf, cfg).where("member").count()
+    assert fps / (3 * n) <= 2 * 0.01
+
+
+def test_words_table_roundtrip_and_distributed_probe(spark, orders, customer):
+    words = fast_bloom_words(orders, "o_custkey", CFG)
+    via_words = {
+        r["c_custkey"]: r["member"]
+        for r in with_fast_membership(customer, "c_custkey", words, CFG).collect()
+    }
+    bf = build_fast_bloom(orders, "o_custkey", CFG)
+    via_filter = {
+        r["c_custkey"]: r["member"]
+        for r in with_fast_membership(
+            customer, "c_custkey", words_from_bloom(spark, bf), CFG
+        ).collect()
+    }
+    assert via_words == via_filter
+
+
+def test_fast_filter_interop_union_json(spark, orders):
+    """A fast-built filter is an ordinary BloomFilter: algebra and serde
+    work unchanged."""
+    o = orders.where(F.col("o_orderstatus") == "O")
+    f = orders.where(F.col("o_orderstatus") == "F")
+    bf_o = build_fast_bloom(o, "o_custkey", CFG)
+    bf_f = build_fast_bloom(f, "o_custkey", CFG)
+    merged = bf_o.union(bf_f)
+    assert merged.to_bytes() == build_fast_bloom(
+        orders.where(F.col("o_orderstatus").isin("O", "F")), "o_custkey", CFG
+    ).to_bytes()
+    # JSON {m,h,b} deliberately has no hash-method field (reference wire
+    # parity, BloomFilterConverter.java:70-83): the payload round-trips
+    # byte-exact; reattach the fast config explicitly on import
+    restored = BloomFilter.from_json(bf_o.to_json())
+    assert restored.to_byte_array() == bf_o.to_byte_array()
+    reattached = BloomFilter(CFG, restored.bits)
+    assert reattached.contains("1") == bf_o.contains("1")
+
+
+def test_fast_requires_fast_method(spark, orders):
+    km = FilterConfig.complete(n=100, p=0.01)
+    with pytest.raises(ValueError, match="XXHash64KM"):
+        build_fast_bloom(orders, "o_orderkey", km)
+    with pytest.raises(ValueError, match="XXHash64KM"):
+        with_fast_membership(orders, "o_orderkey", BloomFilter(km), km)
+
+
+def test_fast_extended_m_words_path(spark):
+    """Extended-m (beyond the Java-int cap): the collected form is
+    refused, but the distributed words table + native probe work —
+    byte-free 64-bit positions end to end."""
+    cfg = FilterConfig.complete(
+        m=(1 << 33), k=3, hash_method="XXHash64KM", extended=True
+    )
+    df = spark.range(2_000).select(F.concat(F.lit("k"), "id").alias("s"))
+    with pytest.raises(ValueError, match="extended"):
+        build_fast_bloom(df, "s", cfg)
+    words = fast_bloom_words(df, "s", cfg)
+    probed = with_fast_membership(df, "s", words, cfg)
+    assert probed.where(~F.col("member")).count() == 0
+    # numpy replica agrees on the 64-bit positions
+    keys = Keys.from_objects(["k0", "k1"])
+    exp = positions_xxh64km(keys, cfg.m, cfg.k)
+    got = (
+        df.limit(0)
+        .sparkSession.createDataFrame([("k0",), ("k1",)], "s string")
+        .select(*[c.alias(f"p{i}") for i, c in enumerate(fast_position_cols("s", cfg))])
+        .collect()
+    )
+    for i in range(2):
+        assert [got[i][f"p{j}"] for j in range(cfg.k)] == exp[i].tolist()
+
+
+def test_fast_probe_null_keys(spark):
+    """Null keys hash as the empty string on both tiers (the Python
+    tier's fill_null convention)."""
+    df = spark.createDataFrame([("",), (None,), ("x",)], "s string")
+    bf = build_fast_bloom(spark.createDataFrame([("",)], "s string"), "s", CFG)
+    got = {r["s"]: r["member"] for r in with_fast_membership(df, "s", bf, CFG).collect()}
+    assert got[""] is True and got[None] is True

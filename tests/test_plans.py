@@ -105,6 +105,47 @@ def test_dedup_plans_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_fast_build_plan_is_pure_jvm(lineitem):
+    """The fast-tier build plan: pruned scan -> native hash projection ->
+    explode -> partial bit_or hash aggregate -> ONE word exchange ->
+    final aggregate.  No Python node of any kind — the whole build stays
+    in whole-stage codegen (the round-2 verdict's #1 ask: keep the
+    100-TB hot path out of the Arrow hop)."""
+    from bloomspark.fast import fast_bloom_words
+
+    cfg = FilterConfig.complete(n=10_000, p=0.01, hash_method="XXHash64KM")
+    p = plan(fast_bloom_words(lineitem, "l_orderkey", cfg))
+    for forbidden in ("MapInArrow", "EvalPython", "FlatMapGroupsInPandas"):
+        assert forbidden not in p
+    assert "xxhash64" in p
+    # map-side combine: a partial bit_or before the exchange
+    assert "partial_bit_or" in p or "partial" in p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_comment" not in read_schema
+
+
+def test_fast_probe_plan_is_pure_jvm_broadcast(spark, lineitem):
+    """The fast-tier probe plan: k broadcast hash joins against ONE
+    shared words broadcast (ReusedExchange), no shuffle, no Python."""
+    from bloomspark.fast import build_fast_bloom, with_fast_membership
+
+    cfg = FilterConfig.complete(n=10_000, p=0.01, hash_method="XXHash64KM")
+    bf = build_fast_bloom(lineitem, "l_orderkey", cfg)
+    probed = with_fast_membership(
+        lineitem.select("l_orderkey"), "l_orderkey", bf, cfg
+    )
+    p = plan(probed)
+    for forbidden in ("MapInArrow", "EvalPython", "Exchange hashpartitioning"):
+        assert forbidden not in p
+    assert p.count("BroadcastHashJoin") >= cfg.k
+    # the single words table is broadcast once and reused k-1 times
+    # (collect() finalizes THIS queryExecution's adaptive plan; count()
+    # would execute a sibling plan and leave this one unfinalized)
+    probed.collect()
+    executed = probed._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= cfg.k - 1
+
+
 def test_topk_uses_take_ordered(spark):
     """brute_force_topk plans TakeOrderedAndProject (a bounded heap per
     partition + merge), never a global sort."""
