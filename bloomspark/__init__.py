@@ -51,10 +51,12 @@ from .sketches import (
 )
 from .sharded import build_sharded_bloom, with_sharded_membership
 from .fast import (
+    blocks_from_bloom,
     build_fast_bloom,
     fast_bloom_words,
     with_fast_membership,
     words_from_bloom,
+    words_to_blocks,
 )
 from .sources import read_table, source_code_table
 
@@ -86,6 +88,8 @@ __all__ = [
     "fast_bloom_words",
     "with_fast_membership",
     "words_from_bloom",
+    "words_to_blocks",
+    "blocks_from_bloom",
     "source_code_table",
     "read_table",
     "FilterConfig",

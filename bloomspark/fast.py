@@ -37,13 +37,22 @@ Plan shapes (pinned in tests/test_plans.py):
   hash-agg -> exchange(word) -> final hash-agg.  Map-side combine caps
   each partition's shuffle output at its distinct words (<= m/64 rows),
   independent of row count — the 100-TB property.
-- **probe**: scan -> project -> k broadcast hash joins against the ONE
-  shared nonzero-words table -> project.  No shuffle, no Python; the
-  words table is broadcast once (16 B/word, fill-bounded).
+- **probe**: scan -> project -> k broadcast hash joins on a BLOCKED
+  form of the filter (4 KiB ``array<bigint>`` rows) -> project.  No
+  shuffle, no Python.  Blocking matters: joining per 64-bit word makes
+  the broadcast hash relation m/64 entries (3M for a 20M-key filter),
+  and building + probing a relation that size measured 0.21M rows/s —
+  33x SLOWER than the pandas probe.  At 512 words per block the
+  relation is m/32768 entries (~6k): the join lookup stays
+  cache-resident and each bit test is one in-place ``element_at`` into
+  broadcast memory.  Measured on 20M rows x 32 cores: 12.2M rows/s
+  vs 8.6M (pandas bitset probe) vs 0.21M (word-granular join).
 
 Scale limits: the collected form needs m/8 driver bytes (same as any
-single filter); past that, keep the filter AS the words DataFrame
-(``fast_bloom_words``) or go to the sharded tier (sharded.py).
+single filter); the probe broadcasts ~k copies of the blocked filter
+per executor (Catalyst does not reuse the exchange across the k joins
+in all plans).  Past broadcast-sized filters, go to the sharded tier
+(sharded.py).
 """
 
 from __future__ import annotations
@@ -152,52 +161,132 @@ def words_from_bloom(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
     return spark.createDataFrame(pdf, schema=WORDS_SCHEMA)
 
 
+#: Words per probe block: 512 x 8 B = 4 KiB rows.  Keeps the broadcast
+#: join hash relation at m/32768 entries (L2-resident lookups) while
+#: each bit test is one in-place element_at into broadcast memory —
+#: the measured sweet spot between the word-granular join (relation too
+#: big: 0.21M rows/s) and one giant array row (BroadcastNestedLoopJoin
+#: copies the build row per output row).
+BLOCK_WORDS = 512
+
+BLOCKS_SCHEMA = "block long, words array<bigint>"
+
+
+def blocks_from_bloom(
+    spark: SparkSession, bloom: BloomFilter, *, block_words: int = BLOCK_WORDS
+) -> DataFrame:
+    """A BloomFilter's nonzero 4 KiB blocks as (block, array<bigint>) —
+    the probe-side broadcast form.  Sparse filters yield few rows;
+    dense ones at most m/(64*block_words)."""
+    _require_fast(bloom.config)
+    raw = bloom.to_bytes()
+    pad = (-len(raw)) % (8 * block_words)
+    arr = np.frombuffer(raw + b"\x00" * pad, dtype=np.uint64).reshape(
+        -1, block_words
+    )
+    nz = np.nonzero(arr.any(axis=1))[0]
+    flat = arr[nz].view(np.int64).ravel()
+    import pyarrow as pa
+
+    offsets = np.arange(len(nz) + 1, dtype=np.int32) * block_words
+    tbl = pa.table(
+        {
+            "block": pa.array(nz.astype(np.int64)),
+            "words": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+        }
+    )
+    try:
+        return spark.createDataFrame(tbl)
+    except Exception:  # pragma: no cover - older Arrow-table support
+        return spark.createDataFrame(tbl.to_pandas(), schema=BLOCKS_SCHEMA)
+
+
+def words_to_blocks(words: DataFrame, *, block_words: int = BLOCK_WORDS) -> DataFrame:
+    """Assemble the distributed (word, bits) table into probe blocks —
+    entirely native (groupBy block + map_from_entries + transform), for
+    filters that were never collected."""
+    wm = (
+        words.groupBy(F.expr(f"word div {block_words}").alias("block"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("word") % block_words).cast("int").alias("key"),
+                        F.col("bits").alias("value"),
+                    )
+                )
+            ).alias("wm")
+        )
+    )
+    return wm.select(
+        "block",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(block_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("wm"), i), F.lit(0).cast("long")
+            ),
+        ).alias("words"),
+    )
+
+
 def with_fast_membership(
     df: DataFrame,
     col: str,
-    words: DataFrame | BloomFilter,
+    filter_src: DataFrame | BloomFilter,
     config: FilterConfig,
     *,
     out_col: str = "member",
+    block_words: int = BLOCK_WORDS,
 ) -> DataFrame:
     """Append a boolean membership column with a 100% JVM plan.
 
     Each of the k positions is tested by a broadcast hash join of its
-    64-bit word index against the shared nonzero-words table, then a
-    native shift/mask; a missing word (left-join null) is a 0 word.
-    The plan is scan -> k codegen'd broadcast joins -> project: no
-    shuffle, no Python worker, no per-row bitset traffic.  ``words``
-    may be the distributed table from :func:`fast_bloom_words` or any
-    XXHash64KM :class:`BloomFilter`."""
+    block index against the blocked filter, then an in-place
+    ``element_at`` + shift/mask; a missing block (left-join null) tests
+    False.  The plan is scan -> k codegen'd broadcast joins -> project:
+    no shuffle, no Python worker, no per-row bitset traffic.
+    ``filter_src`` may be an XXHash64KM :class:`BloomFilter`, the
+    distributed (word, bits) table from :func:`fast_bloom_words`, or a
+    pre-blocked (block, words) table."""
     _require_fast(config)
-    if isinstance(words, BloomFilter):
-        if not words.config.is_compatible_to(config):
+    if isinstance(filter_src, BloomFilter):
+        if not filter_src.config.is_compatible_to(config):
             raise ValueError("filter is not compatible with the probe config")
-        words = words_from_bloom(df.sparkSession, words)
-    wtab = words.select("word", "bits")
+        blocks = blocks_from_bloom(
+            df.sparkSession, filter_src, block_words=block_words
+        )
+    elif set(filter_src.columns) >= {"word", "bits"}:
+        blocks = words_to_blocks(filter_src, block_words=block_words)
+    else:
+        blocks = filter_src.select("block", "words")
+    bits_per_block = 64 * block_words
     a, b = fast_hash_cols(col, config)
     out = df.withColumn("__fa", a).withColumn("__fb", b)
     temp = ["__fa", "__fb"]
     tests = []
     for i in range(config.k):
-        p, w, bi = f"__fp{i}", f"__fw{i}", f"__fbits{i}"
+        p, blk, w = f"__fp{i}", f"__fblk{i}", f"__fwords{i}"
         out = out.withColumn(
             p, F.pmod(F.col("__fa") + F.lit(i) * F.col("__fb"), F.lit(config.m))
-        ).withColumn(w, F.expr(f"{p} div 64"))
+        ).withColumn(blk, F.expr(f"{p} div {bits_per_block}"))
         out = out.join(
             F.broadcast(
-                wtab.select(F.col("word").alias(w), F.col("bits").alias(bi))
+                blocks.select(F.col("block").alias(blk), F.col("words").alias(w))
             ),
-            w,
+            blk,
             "left",
         )
         tests.append(
             F.coalesce(
-                F.expr(f"(shiftright({bi}, CAST({p} % 64 AS INT)) & 1) = 1"),
+                F.expr(
+                    f"(shiftright(element_at({w}, "
+                    f"CAST(({p} div 64) % {block_words} AS INT) + 1), "
+                    f"CAST({p} % 64 AS INT)) & 1) = 1"
+                ),
                 F.lit(False),
             )
         )
-        temp += [p, w, bi]
+        temp += [p, blk, w]
     member = tests[0]
     for t in tests[1:]:
         member = member & t
