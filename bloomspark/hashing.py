@@ -116,16 +116,18 @@ class Keys:
         return self.data[self.offsets[i] : self.offsets[i + 1]].tobytes()
 
     def take(self, idx: np.ndarray) -> "Keys":
+        """Row subset as a new contiguous Keys buffer — one vectorized
+        gather (output byte t of segment j reads source byte
+        ``starts[j] + (t - out_off[j])``), no per-row Python."""
+        idx = np.asarray(idx, dtype=np.int64)
         lens = self.lengths[idx]
         out_off = np.zeros(len(idx) + 1, dtype=np.int64)
         np.cumsum(lens, out=out_off[1:])
-        out_data = np.empty(int(out_off[-1]), dtype=np.uint8)
-        starts = self.offsets[idx]
-        for j in range(len(idx)):  # pragma: no cover - fallback path
-            out_data[out_off[j] : out_off[j + 1]] = self.data[
-                starts[j] : starts[j] + lens[j]
-            ]
-        return Keys(out_data, out_off)
+        total = int(out_off[-1])
+        if total == 0:
+            return Keys(np.empty(0, dtype=np.uint8), out_off)
+        base = np.repeat(self.offsets[idx] - out_off[:-1], lens)
+        return Keys(self.data[np.arange(total, dtype=np.int64) + base], out_off)
 
 
 def as_keys(keys) -> Keys:

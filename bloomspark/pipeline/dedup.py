@@ -39,14 +39,21 @@ def _flatten_offsets(arr: pa.Array):
     The fast path for every tokens/shingles UDF: no Python object is
     created per element (round 1 flattened through a per-shingle list
     comprehension — the repo's no-per-row-Python invariant violated at
-    the sub-row level, and 51% of the bench).  Null slots only occur for
-    null text; they flatten as empty docs via the pylist fallback."""
+    the sub-row level, and 51% of the bench).  Null slots (null text)
+    flatten as zero-length docs: ``ListArray.flatten()`` already skips
+    null slots' value ranges in order, so zeroing their lengths in the
+    offset diff re-aligns the offsets exactly — no ``to_pylist``
+    round-trip of the whole batch (round-2 ADVICE: one null doc used to
+    de-vectorize the entire batch)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if arr.null_count:
-        lists = [x if x is not None else [] for x in arr.to_pylist()]
-        arr = pa.array(lists, type=arr.type)
     off = np.asarray(arr.offsets, dtype=np.int64)
+    if arr.null_count:
+        lens = np.diff(off)
+        lens[np.asarray(arr.is_null())] = 0
+        out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        return arr.flatten(), out_off
     return arr.flatten(), off - off[0]
 
 # ---------------------------------------------------------------------------

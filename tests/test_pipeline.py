@@ -44,6 +44,73 @@ def _jaccard(a: str, b: str, n=3):
     return len(sa & sb) / len(sa | sb)
 
 
+def test_flatten_offsets_nulls_stay_vectorized(monkeypatch):
+    """Null list slots flatten as empty docs WITHOUT round-tripping the
+    batch through to_pylist (round-2 ADVICE: one null doc used to
+    de-vectorize the whole Arrow batch)."""
+    import pyarrow as pa
+
+    from bloomspark.pipeline import dedup
+
+    arr = pa.array(
+        [["a", "b"], None, [], ["c"], None, ["d", "e", "f"]],
+        type=pa.list_(pa.string()),
+    )
+
+    def no_reencode(*a, **kw):  # the old null path re-encoded via pa.array
+        raise AssertionError("pa.array re-encode called on the null path")
+
+    monkeypatch.setattr(dedup.pa, "array", no_reencode)
+    flat, off = dedup._flatten_offsets(arr)
+    monkeypatch.undo()
+    assert off.tolist() == [0, 2, 2, 2, 3, 3, 6]
+    assert flat.to_pylist() == ["a", "b", "c", "d", "e", "f"]
+    # and a sliced batch (nonzero arr.offset) stays consistent
+    sl = arr.slice(1, 4)
+    flat2, off2 = dedup._flatten_offsets(sl)
+    assert off2.tolist() == [0, 0, 0, 1, 1]
+    assert flat2.to_pylist() == ["c"]
+
+
+def test_keys_take_vectorized_gather():
+    """Keys.take is one fancy-indexed gather, byte-identical to the
+    per-row form."""
+    from bloomspark.hashing import Keys
+
+    keys = Keys.from_objects(["alpha", "", "bee", "sea", "longer-key", "x"])
+    idx = np.array([4, 0, 2, 1, 5])
+    sub = keys.take(idx)
+    assert [sub.get(i) for i in range(len(idx))] == [
+        b"longer-key", b"alpha", b"bee", b"", b"x"
+    ]
+    empty = keys.take(np.array([], dtype=np.int64))
+    assert len(empty) == 0
+
+
+def test_null_text_docs_flow_through_dedup(spark):
+    """Docs with null text survive the whole minhash/simhash pipeline
+    (they behave as empty docs and never pair)."""
+    from bloomspark.pipeline import minhash_lsh_pairs, simhash_near_dups
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, None),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # shingle_column folds null text to the single empty shingle, so the
+    # two null docs are duplicates of each other and of nothing else
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, verify_threshold=0.8).collect()}
+    assert pairs == {(1, 2), (3, 4)}
+    # simhash splits null text to a NULL token list — the Arrow null
+    # path in _flatten_offsets — and fingerprints it as 0
+    sim = {(r["id_a"], r["id_b"]) for r in
+           simhash_near_dups(docs, max_hamming=3).collect()}
+    assert (1, 2) in sim and (3, 4) in sim and (1, 3) not in sim and (2, 4) not in sim
+
+
 def test_exact_dedup_matches_python_oracle(docs):
     got = {r["digest"]: (r["keep_id"], r["dup_count"]) for r in exact_dedup(docs).collect()}
     import hashlib
