@@ -546,6 +546,24 @@ def q_fast_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "member")
 
 
+def q_fast_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native counting tier: explode + count(*) position aggregate,
+    blocked-broadcast least() probe — frequency estimates equal exact
+    GROUP BY counts at p=1e-9."""
+    from bloomspark.fast import build_fast_counting, with_fast_estimated_count
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    cfg = FilterConfig.complete(
+        n=max(part.count(), 1), p=EXACT_P, counting_bits=32,
+        hash_method="XXHash64KM",
+    )
+    cbf = build_fast_counting(lineitem, "l_partkey", cfg)
+    return with_fast_estimated_count(
+        part.select("p_partkey"), "p_partkey", cbf, cfg
+    ).select("p_partkey", "est_count")
+
+
 def q_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The never-collected filter tier (sharded.py): lineitem orderkeys
     sharded into 16 independent bitsets (the TB-scale shape where no
@@ -674,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_counts": q_grouped_counts,
         "sharded_membership": q_sharded_membership,
         "fast_membership": q_fast_membership,
+        "fast_counts": q_fast_counts,
         "expiring_known": q_expiring_known,
     }
 
@@ -970,6 +989,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    o_orderkey IN (SELECT l_orderkey FROM lineitem) AS member
             FROM orders
+        """,
+        "fast_counts": """
+            SELECT p.p_partkey,
+                   COALESCE(l.cnt, 0) AS est_count
+            FROM part p
+            LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey) l
+              ON p.p_partkey = l.l_partkey
         """,
         "grouped_counts": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -53,7 +53,10 @@ from .sharded import build_sharded_bloom, with_sharded_membership
 from .fast import (
     blocks_from_bloom,
     build_fast_bloom,
+    build_fast_counting,
     fast_bloom_words,
+    fast_counting_positions,
+    with_fast_estimated_count,
     with_fast_membership,
     words_from_bloom,
     words_to_blocks,
@@ -90,6 +93,9 @@ __all__ = [
     "words_from_bloom",
     "words_to_blocks",
     "blocks_from_bloom",
+    "build_fast_counting",
+    "fast_counting_positions",
+    "with_fast_estimated_count",
     "source_code_table",
     "read_table",
     "FilterConfig",

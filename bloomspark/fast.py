@@ -62,6 +62,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .counting import CountingBloomFilter, counter_dtype, counter_max
 from .filter import BloomFilter
 from .hashing import FAST_SEED2
 from .params import FilterConfig
@@ -170,6 +171,142 @@ def words_from_bloom(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
 BLOCK_WORDS = 512
 
 BLOCKS_SCHEMA = "block long, words array<bigint>"
+
+
+# ---------------------------------------------------------------------------
+# Counting tier: the same zero-Python treatment for the counting filter.
+# ---------------------------------------------------------------------------
+
+
+def fast_counting_positions(df: DataFrame, col: str, config: FilterConfig) -> DataFrame:
+    """Per-position counts as a distributed (pos, cnt) DataFrame — the
+    counting filter in sparse native form.  explode(k positions) ->
+    count(*) hash aggregate; map-side combine bounds each partition's
+    shuffle output at its distinct positions."""
+    _require_fast(config)
+    pos = F.explode(F.array(*fast_position_cols(col, config))).alias("pos")
+    return df.select(pos).groupBy("pos").agg(F.count("*").alias("cnt"))
+
+
+def build_fast_counting(df: DataFrame, col: str, config: FilterConfig) -> CountingBloomFilter:
+    """Native counting-filter build collected into an ordinary
+    :class:`CountingBloomFilter` — byte-identical to the mapInArrow
+    ``build_counting`` under the same XXHash64KM config (saturation at
+    the counter width applies on the driver scatter, with the overflow
+    count reported like any other build)."""
+    _require_fast(config)
+    if config.extended:
+        raise ValueError(
+            "extended-m fast counting filters cannot be collected; "
+            "keep fast_counting_positions distributed or shard"
+        )
+    pdf = fast_counting_positions(df, col, config).toPandas()
+    cbf = CountingBloomFilter(config)
+    if len(pdf):
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
+        cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+        mx = int(cbf.max_count)
+        over = int((cnt > mx).sum())
+        cbf.counters[pos] = np.minimum(cnt, mx).astype(cbf.counters.dtype)
+        if over:
+            cbf._on_overflow(over)
+    return cbf
+
+
+def with_fast_estimated_count(
+    df: DataFrame,
+    col: str,
+    filter_src: DataFrame | CountingBloomFilter,
+    config: FilterConfig,
+    *,
+    out_col: str = "est_count",
+    block_words: int = BLOCK_WORDS,
+) -> DataFrame:
+    """Minimum-selection frequency estimates with a 100% JVM plan.
+
+    The counters travel as blocked ``array<bigint>`` rows (one count per
+    slot — wider than the packed driver dtype, but the broadcast is
+    count-bounded and the join stays the cache-resident blocked shape);
+    each of the k positions reads its count via in-place ``element_at``
+    and the estimate is the native ``least`` of the k reads.  Missing
+    blocks/slots count 0."""
+    _require_fast(config)
+    spark = df.sparkSession
+    if isinstance(filter_src, CountingBloomFilter):
+        if not filter_src.config.is_compatible_to(config):
+            raise ValueError("filter is not compatible with the probe config")
+        counters = filter_src.counters.astype(np.int64)
+        nblocks = -(-len(counters) // block_words)
+        padded = np.zeros(nblocks * block_words, dtype=np.int64)
+        padded[: len(counters)] = counters
+        grid = padded.reshape(nblocks, block_words)
+        nz = np.nonzero(grid.any(axis=1))[0]
+        import pyarrow as pa
+
+        offsets = np.arange(len(nz) + 1, dtype=np.int32) * block_words
+        tbl = pa.table(
+            {
+                "block": pa.array(nz.astype(np.int64)),
+                "counts": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(grid[nz].ravel())
+                ),
+            }
+        )
+        try:
+            blocks = spark.createDataFrame(tbl)
+        except Exception:  # pragma: no cover
+            blocks = spark.createDataFrame(
+                tbl.to_pandas(), schema="block long, counts array<bigint>"
+            )
+    else:
+        # distributed (pos, cnt) -> blocked counts, entirely native
+        blocks = (
+            filter_src.groupBy(F.expr(f"pos div {block_words}").alias("block"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("pos") % block_words).cast("int").alias("key"),
+                            F.col("cnt").alias("value"),
+                        )
+                    )
+                ).alias("cm")
+            )
+            .select(
+                "block",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(block_words - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("cm"), i), F.lit(0).cast("long")
+                    ),
+                ).alias("counts"),
+            )
+        )
+    a, b = fast_hash_cols(col, config)
+    out = df.withColumn("__fa", a).withColumn("__fb", b)
+    temp = ["__fa", "__fb"]
+    reads = []
+    for i in range(config.k):
+        p, blk, c = f"__fp{i}", f"__fblk{i}", f"__fcnts{i}"
+        out = out.withColumn(
+            p, F.pmod(F.col("__fa") + F.lit(i) * F.col("__fb"), F.lit(config.m))
+        ).withColumn(blk, F.expr(f"{p} div {block_words}"))
+        out = out.join(
+            F.broadcast(
+                blocks.select(F.col("block").alias(blk), F.col("counts").alias(c))
+            ),
+            blk,
+            "left",
+        )
+        reads.append(
+            F.coalesce(
+                F.expr(f"element_at({c}, CAST({p} % {block_words} AS INT) + 1)"),
+                F.lit(0).cast("long"),
+            )
+        )
+        temp += [p, blk, c]
+    est = F.least(*reads) if len(reads) > 1 else reads[0]
+    return out.withColumn(out_col, est).drop(*temp)
 
 
 def blocks_from_bloom(

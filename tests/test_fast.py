@@ -168,6 +168,70 @@ def test_fast_extended_m_words_path(spark):
         assert [got[i][f"p{j}"] for j in range(cfg.k)] == exp[i].tolist()
 
 
+def test_fast_counting_build_byte_identical(spark, lineitem):
+    """Native counting build == mapInArrow build_counting under the same
+    XXHash64KM config, counter for counter."""
+    from bloomspark import build_counting
+    from bloomspark.fast import build_fast_counting
+
+    cfg = FilterConfig.complete(n=2000, p=1e-6, counting_bits=32,
+                                hash_method="XXHash64KM")
+    native = build_fast_counting(lineitem, "l_partkey", cfg)
+    arrow = build_counting(lineitem, "l_partkey", cfg)
+    assert native == arrow
+    assert native.to_bytes() == arrow.to_bytes()
+
+
+def test_fast_estimated_count_probe(spark, lineitem):
+    """Native min-selection estimates equal exact GROUP BY counts at
+    tiny FPP, via both the driver filter and the distributed (pos, cnt)
+    table; missing keys estimate 0."""
+    from bloomspark.fast import (
+        build_fast_counting,
+        fast_counting_positions,
+        with_fast_estimated_count,
+    )
+
+    cfg = FilterConfig.complete(n=2000, p=1e-9, counting_bits=32,
+                                hash_method="XXHash64KM")
+    cbf = build_fast_counting(lineitem, "l_partkey", cfg)
+    keys = lineitem.select("l_partkey").distinct()
+    exact = {r["l_partkey"]: r["count"]
+             for r in lineitem.groupBy("l_partkey").count().collect()}
+    via_filter = {
+        r["l_partkey"]: r["est_count"]
+        for r in with_fast_estimated_count(keys, "l_partkey", cbf, cfg).collect()
+    }
+    assert via_filter == exact
+    pos_table = fast_counting_positions(lineitem, "l_partkey", cfg)
+    via_table = {
+        r["l_partkey"]: r["est_count"]
+        for r in with_fast_estimated_count(keys, "l_partkey", pos_table, cfg).collect()
+    }
+    assert via_table == exact
+    missing = spark.createDataFrame([(99_999_999,)], "l_partkey long")
+    assert with_fast_estimated_count(missing, "l_partkey", cbf, cfg).first()[
+        "est_count"
+    ] == 0
+    # the probe plan stays pure JVM
+    probed = with_fast_estimated_count(keys, "l_partkey", cbf, cfg)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInArrow" not in plan
+
+
+def test_fast_counting_saturation(spark):
+    """Counter-width saturation applies on the native build like the
+    parity build: 2-bit counters cap at 3 and report overflows."""
+    from bloomspark.fast import build_fast_counting
+
+    cfg = FilterConfig.complete(m=64, k=1, counting_bits=2,
+                                hash_method="XXHash64KM")
+    df = spark.createDataFrame([("x",)] * 9, "s string")
+    cbf = build_fast_counting(df, "s", cfg)
+    assert int(cbf.counters.max()) == 3
+    assert cbf._overflows > 0
+
+
 def test_fast_probe_null_keys(spark):
     """Null keys hash as the empty string on both tiers (the Python
     tier's fill_null convention)."""
