@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BEST_OF = int(os.environ.get("BLOOMSPARK_BENCH_BEST_OF", "3"))
 
 
 def make_spark(cores: int, app: str = "bloomspark-bench"):
@@ -68,16 +69,19 @@ def bench_queries(spark, sf_dir: str):
 
     results = {}
 
-    def timed(name, fn, rows):
-        # best-of-2: the host shows ~2x run-to-run noise (shared box);
-        # the minimum of two runs is the least-noisy single-number
-        # estimate that still fits the per-round time budget.  Each
-        # repeat starts from a clean Spark cache so persisted
-        # intermediates (q7's shingles) don't turn run 2 into a
-        # cache-read — only JVM/worker warmup and the OS page cache carry
+    def timed(name, fn, rows, clear=True):
+        # best-of-3: the host shows ~2x run-to-run noise (shared box), so
+        # single-run BENCH numbers made round-over-round regressions
+        # indistinguishable from noise (r2 verdict).  Each repeat starts
+        # from a clean Spark cache so persisted intermediates (q7's
+        # shingles) don't turn later runs into cache reads — only
+        # JVM/worker warmup and the OS page cache carry.  clear=False is
+        # for probes whose input is a deliberately persisted build
+        # (q14 probes the shard table q13 materialized).
         best = None
-        for _ in range(2):
-            spark.catalog.clearCache()
+        for _ in range(BEST_OF):
+            if clear:
+                spark.catalog.clearCache()
             t0 = time.time()
             fn()
             dt = time.time() - t0
@@ -208,6 +212,62 @@ def bench_queries(spark, sf_dir: str):
         n_li,
     )
 
+    # JVM-native fast tier (fast.py): same membership workload as q1/q2
+    # but positions/aggregation/probe entirely in whole-stage codegen —
+    # the plan the 100-TB path runs, with no Arrow hop to scale-limit
+    from bloomspark.fast import build_fast_bloom, with_fast_membership
+
+    fcfg = FilterConfig.complete(n=n_li, p=0.01, hash_method="XXHash64KM")
+    fbf_holder = {}
+    timed(
+        "q11_fast_build",
+        lambda: fbf_holder.__setitem__(
+            "bf",
+            build_fast_bloom(lineitem.repartition(nparts), "l_orderkey", fcfg),
+        ),
+        n_li,
+    )
+    timed(
+        "q12_fast_probe",
+        lambda: with_fast_membership(orders, "o_orderkey", fbf_holder["bf"], fcfg)
+        .where(F.col("member"))
+        .count(),
+        n_ord,
+    )
+
+    # sharded tier (sharded.py): the TB-scale never-collected shape —
+    # 64 independent shard bitsets built via the salted grouped build,
+    # probed by cogroup co-partitioning
+    from bloomspark.sharded import build_sharded_bloom, with_sharded_membership
+
+    num_shards = 64
+    shcfg = FilterConfig.complete(n=max(n_li // num_shards, 1000), p=0.01)
+    shard_holder = {}
+
+    def _sharded_build():
+        shards = build_sharded_bloom(
+            lineitem.repartition(nparts), "l_orderkey", shcfg, num_shards=num_shards
+        ).persist()
+        shards.count()  # materialize the build under the timer
+        shard_holder["shards"] = shards
+
+    timed("q13_sharded_build", _sharded_build, n_li)
+    timed(
+        "q14_sharded_probe",
+        lambda: with_sharded_membership(
+            orders.select("o_orderkey"),
+            "o_orderkey",
+            shard_holder["shards"],
+            shcfg,
+            num_shards=num_shards,
+        )
+        .where(F.col("member"))
+        .count(),
+        n_ord,
+        clear=False,
+    )
+    shard_holder["shards"].unpersist()
+
     return results
 
 
@@ -219,13 +279,19 @@ SCALING_ROWS = int(os.environ.get("BLOOMSPARK_SCALING_ROWS", "20000000"))
 SCALING_METHOD = os.environ.get("BLOOMSPARK_SCALING_METHOD", "Murmur3")
 
 
-def scaling_worker(cores: int) -> None:
+def scaling_worker(cores: int, mode: str = "python") -> None:
     """One scaling measurement in a fresh JVM: the identical CPU-bound
     build job, varying only the core count (same rows, same partitions).
+    ``mode='python'`` is the parity-tier build (mapInArrow partials,
+    chained-Murmur3 hashing); ``mode='native'`` is the fast tier
+    (fast.py) — the same 20M-key membership build with ZERO Python
+    workers, isolating whether the 2->8 ceiling is the Arrow hop
+    (native scales) or shared DRAM (native hits it too).
     Prints one JSON line consumed by run_scaling."""
     from pyspark.sql import SparkSession, functions as F
 
     from bloomspark import FilterConfig, build_bloom
+    from bloomspark.fast import build_fast_bloom
 
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -238,7 +304,13 @@ def scaling_worker(cores: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     nparts = 64  # fixed across levels; >= 2 tasks/core at the big level
-    cfg = FilterConfig.complete(n=SCALING_ROWS, p=0.01, hash_method=SCALING_METHOD)
+    method = "XXHash64KM" if mode == "native" else SCALING_METHOD
+    cfg = FilterConfig.complete(n=SCALING_ROWS, p=0.01, hash_method=method)
+    build_fn = (
+        (lambda df: build_fast_bloom(df, "sha", cfg))
+        if mode == "native"
+        else (lambda df: build_bloom(df, "sha", cfg, tree_merge_groups=8))
+    )
     keys = spark.range(0, SCALING_ROWS, 1, nparts).select(
         F.sha2(F.col("id").cast("string"), 256).alias("sha")
     )
@@ -247,14 +319,14 @@ def scaling_worker(cores: int) -> None:
     warm = spark.range(0, 1_000_000, 1, nparts).select(
         F.sha2(F.col("id").cast("string"), 256).alias("sha")
     )
-    build_bloom(warm, "sha", cfg)
+    build_fn(warm)
     # best-of-3: the sandbox host shows ~2x run-to-run noise, so a single
     # timing is meaningless; the minimum is the least-noisy estimate
     best = None
     bf = None
     for _ in range(3):
         t0 = time.time()
-        bf = build_bloom(keys, "sha", cfg, tree_merge_groups=8)
+        bf = build_fn(keys)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     print(
@@ -266,7 +338,7 @@ def scaling_worker(cores: int) -> None:
     spark.stop()
 
 
-def run_scaling(n_small: int, n_big: int):
+def run_scaling(n_small: int, n_big: int, mode: str = "python"):
     """Launch the identical job at two parallelism levels, each in its own
     process (fresh JVM — the sandbox stand-in for two cluster sizes)."""
     import subprocess
@@ -275,7 +347,8 @@ def run_scaling(n_small: int, n_big: int):
 
     out = {}
     for cores in (n_small, n_big):
-        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)]
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+               str(cores), mode]
         # pin the whole process tree (JVM + Python workers) to exactly
         # `cores` CPUs — without this, local[N] threads spill onto every
         # core of the box and the "small cluster" measurement is a lie
@@ -323,6 +396,7 @@ def main():
         "unit": "sec",
         "queries": queries,
         "sf": sf,
+        "best_of": BEST_OF,
         "build_rows_per_sec": round(build_rows / build_sec, 1),
     }
 
@@ -336,12 +410,20 @@ def main():
         # does not suffer.
         payload["scaling"] = run_scaling(1, 4)
         payload["scaling_2_8"] = run_scaling(2, 8)
+        # the fast tier's legs: no Python worker anywhere, so any
+        # remaining 2->8 shortfall is the box's shared-DRAM ceiling,
+        # not the Arrow hop (round-2 verdict item 7)
+        payload["scaling_fast"] = run_scaling(1, 4, mode="native")
+        payload["scaling_fast_2_8"] = run_scaling(2, 8, mode="native")
 
     print(json.dumps(payload))
 
 
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
-        scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+        i = sys.argv.index("--scaling-worker")
+        cores = int(sys.argv[i + 1])
+        mode = sys.argv[i + 2] if len(sys.argv) > i + 2 else "python"
+        scaling_worker(cores, mode)
     else:
         main()
