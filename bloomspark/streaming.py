@@ -339,6 +339,7 @@ def streaming_bloom_build(
     *,
     query_name: str = "bloomspark-stream",
     trigger: Optional[dict] = None,
+    use_fast_tier: bool = False,
 ):
     """Maintain a Bloom filter over a stream with foreachBatch.
 
@@ -346,8 +347,16 @@ def streaming_bloom_build(
     OR-merged into ``<checkpoint_dir>/bitset.bin``; the merged filter is
     always loadable via :func:`bloomspark.checkpoint.load`.  Restarts are
     safe: re-adding a batch's keys is idempotent (OR).
+
+    ``use_fast_tier=True`` builds each micro-batch with the JVM-native
+    fast build (fast.py, requires ``hash_method="XXHash64KM"``) — no
+    Python workers per micro-batch; the merged file is byte-compatible
+    either way (the two builds are bit-identical).
     """
     from .build import build_bloom
+
+    if use_fast_tier:
+        from .fast import build_fast_bloom as _fast_build
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     bits_path = os.path.join(checkpoint_dir, "bitset.bin")
@@ -359,7 +368,11 @@ def streaming_bloom_build(
             json.dump({"config": config.to_dict()}, f)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bf = build_bloom(batch_df, col, config)
+        bf = (
+            _fast_build(batch_df, col, config)
+            if use_fast_tier
+            else build_bloom(batch_df, col, config)
+        )
         if os.path.exists(bits_path):
             with open(bits_path, "rb") as f:
                 bf.union_inplace(BloomFilter.from_bytes(config, f.read()))

@@ -76,6 +76,27 @@ def test_json_and_bytes_roundtrip_identity(keys):
     assert BloomFilter.from_bytes(CFG, bf.to_bytes()) == bf
 
 
+@settings(max_examples=20, deadline=None)
+@given(KEYS, st.integers(0, 100))
+def test_fast_hash_take_and_batch_invariance(keys, seed):
+    """Fast-tier laws for arbitrary unicode keys: Keys.take is exact,
+    hashing a row subset equals subsetting the hashes (no cross-row
+    state), and xxh64 of a singleton equals its value inside any batch
+    (length-group independence across the 4/8/32-byte boundaries)."""
+    from bloomspark.hashing import Keys, positions_xxh64km, xxh64
+
+    kb = Keys.from_objects(keys)
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(keys))[: max(1, len(keys) // 2)]
+    sub = kb.take(idx)
+    assert [sub.get(i) for i in range(len(idx))] == [kb.get(int(j)) for j in idx]
+    full = positions_xxh64km(kb, 8143, 5)
+    assert np.array_equal(positions_xxh64km(sub, 8143, 5), full[idx])
+    h = xxh64(kb)
+    for j in range(min(len(keys), 5)):
+        assert xxh64(Keys.from_objects([keys[j]]))[0] == h[j]
+
+
 @settings(max_examples=10, deadline=None)
 @given(KEYS)
 def test_all_methods_positions_in_range(keys):

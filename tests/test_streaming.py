@@ -304,6 +304,55 @@ def test_streaming_incremental_build(spark, tmp_path):
     assert all(bf.contains(str(i)) for i in range(50))
 
 
+def test_streaming_fast_tier_build(spark, tmp_path):
+    """foreachBatch with use_fast_tier=True: every micro-batch builds
+    JVM-natively (no Python workers) and the merged checkpoint is an
+    ordinary loadable filter with no false negatives."""
+    ckpt = str(tmp_path / "stream_fast_ck")
+    cfg = FilterConfig.complete(n=10_000, p=1e-6, hash_method="XXHash64KM")
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(F.col("value").cast("string").alias("key"))
+    )
+    q = streaming_bloom_build(stream, "key", cfg, ckpt, use_fast_tier=True)
+    try:
+        deadline = time.time() + 30
+        seen = 0
+        while time.time() < deadline:
+            time.sleep(2)
+            if os.path.exists(os.path.join(ckpt, "bitset.bin")):
+                with open(os.path.join(ckpt, "bitset.bin"), "rb") as f:
+                    bf = BloomFilter.from_bytes(cfg, f.read())
+                seen = int(bf.get_estimated_population())
+                if seen >= 100:
+                    break
+    finally:
+        q.stop()
+    assert seen >= 100, f"stream produced only ~{seen} keys"
+    with open(os.path.join(ckpt, "bitset.bin"), "rb") as f:
+        bf = BloomFilter.from_bytes(cfg, f.read())
+    assert all(bf.contains(str(i)) for i in range(50))
+
+
+def test_expiring_family_on_fast_method(spark):
+    """The whole expiring lifecycle runs under the fast-tier hash method
+    (XXHash64KM is a first-class registry method, so snapshot builds and
+    probes just work)."""
+    cfg = FilterConfig.complete(n=1000, p=1e-6, counting_bits=16,
+                                hash_method="XXHash64KM")
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("a", 1000, 500), ("b", 1200, 500)]), cfg
+    ).report_write(spark.createDataFrame([("a", 1100)], "key string, ts_ms long"))
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "key string")
+    known = {r["key"]: r["known"] for r in ebf.is_known(keys, "key", 1300).collect()}
+    assert known == {"a": True, "b": True, "c": False}
+    contained = {r["key"]: r["contained"]
+                 for r in ebf.contains(keys, "key", 1300).collect()}
+    assert contained == {"a": True, "b": False, "c": False}
+
+
 def test_applyinpandaswithstate_expiry(spark, tmp_path):
     """Event-time timers: a key's state expires when the watermark passes
     its TTL; transitions arrive on the output stream."""
