@@ -564,6 +564,27 @@ def q_fast_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "est_count")
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact join (join.py): lineitem is pruned by a
+    JVM-native fast-tier filter of the urgent orders' keys BEFORE the
+    exact join, at a realistic p=0.01 — the prune is conservative (no
+    false negatives) and the exact join removes false positives, so the
+    result is identical to the plain join and the DuckDB oracle is just
+    that join."""
+    from bloomspark.join import bloom_prune_join
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    joined = bloom_prune_join(
+        lineitem, urgent, ("l_orderkey", "o_orderkey"), p=0.01
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
 def q_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The never-collected filter tier (sharded.py): lineitem orderkeys
     sharded into 16 independent bitsets (the TB-scale shape where no
@@ -693,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_membership": q_sharded_membership,
         "fast_membership": q_fast_membership,
         "fast_counts": q_fast_counts,
+        "bloom_prune_join": q_bloom_prune_join,
         "expiring_known": q_expiring_known,
     }
 
@@ -996,6 +1018,14 @@ def oracle_sql() -> dict[str, str]:
             FROM part p
             LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey) l
               ON p.p_partkey = l.l_partkey
+        """,
+        "bloom_prune_join": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   COUNT(*) AS cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag
         """,
         "grouped_counts": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

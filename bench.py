@@ -268,6 +268,24 @@ def bench_queries(spark, sf_dir: str):
     )
     shard_holder["shards"].unpersist()
 
+    # bloom-pruned exact join (join.py): the 100-TB semi-join-reduction
+    # pattern — lineitem pruned by a fast-tier filter of the urgent
+    # orders' keys inside the scan stage, then the ordinary exact join
+    from bloomspark.join import bloom_prune_join
+
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    n_urgent = urgent.count()
+    timed(
+        "q15_bloom_prune_join",
+        lambda: bloom_prune_join(
+            lineitem.repartition(nparts),
+            urgent,
+            ("l_orderkey", "o_orderkey"),
+            n_build=n_urgent,
+        ).count(),
+        n_li,
+    )
+
     return results
 
 

@@ -61,6 +61,7 @@ from .fast import (
     words_from_bloom,
     words_to_blocks,
 )
+from .join import bloom_prune_join, bloom_semi_filter
 from .sources import read_table, source_code_table
 
 __all__ = [
@@ -96,6 +97,8 @@ __all__ = [
     "build_fast_counting",
     "fast_counting_positions",
     "with_fast_estimated_count",
+    "bloom_prune_join",
+    "bloom_semi_filter",
     "source_code_table",
     "read_table",
     "FilterConfig",

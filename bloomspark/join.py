@@ -1,0 +1,175 @@
+"""Bloom-pruned joins: exact joins accelerated by a fast-tier semi-join
+reduction of the big side.
+
+This is the canonical 100-TB use of a Bloom filter inside a query
+engine (the pattern Spark itself applies as "runtime bloom filter
+join", SPARK-32268): before shuffling a huge fact table into a join,
+test every fact key against a Bloom filter of the dimension side's join
+keys and drop the rows that cannot match.  The filter is conservative
+(no false negatives), so following the prune with the ORDINARY exact
+join returns exactly the same rows as the unpruned join — false
+positives only cost a little wasted shuffle, never a wrong answer.
+That guarantee is what makes this operator oracle-checkable at a
+realistic ``p`` (0.01), unlike the membership oracles which need
+p=1e-9 to be exact.
+
+Why it matters at scale: an inner/semi join shuffles BOTH sides on the
+key.  When the big side is 100 TB and only a few percent of its rows
+match the small side, the shuffle is ~100 TB of mostly-dead rows.  The
+prune happens in the scan stage — positions as native ``xxhash64``
+expressions, membership via the blocked broadcast join (fast.py), all
+inside whole-stage codegen — so the shuffle input shrinks by the
+non-matching fraction before a single byte moves.
+
+The reference has no join operator (it is a filter library, not an
+engine); this composes its BloomFilter semantics (`BloomFilter.java`
+contains/addAll contract) with Spark's join machinery the way the
+reference's own "what are Bloom filters good for" docs describe
+(README.md "use cases": avoiding expensive lookups for keys that
+cannot be present).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .fast import (
+    BLOCK_WORDS,
+    FAST_HASH_METHOD,
+    build_fast_bloom,
+    fast_bloom_words,
+    with_fast_membership,
+)
+from .params import FilterConfig
+
+#: Filters at or below this size are collected once to the driver and
+#: broadcast in blocked form (one Arrow collect of <= m/8 bytes);
+#: bigger filters stay a distributed (word, bits) table that is blocked
+#: natively and broadcast straight from the executors — the driver
+#: never holds the bitset.
+DRIVER_FILTER_MAX_BYTES = 64 << 20
+
+_PRUNABLE = {"inner", "left_semi", "leftsemi", "semi"}
+
+
+def _resolve_keys(
+    on: Union[str, Tuple[str, str], Sequence[str]],
+) -> Tuple[str, str, bool]:
+    """-> (big_key, small_key, same_name)."""
+    if isinstance(on, str):
+        return on, on, True
+    keys = tuple(on)
+    if len(keys) == 1:
+        return keys[0], keys[0], True
+    if len(keys) == 2:
+        return keys[0], keys[1], keys[0] == keys[1]
+    raise ValueError(
+        "composite join keys are not supported by bloom_prune_join; "
+        "pre-concatenate them into one column (e.g. concat_ws) on both "
+        "sides, or join without pruning"
+    )
+
+
+def bloom_semi_filter(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: Optional[str] = None,
+    *,
+    p: float = 0.01,
+    n_build: Optional[int] = None,
+    filter_mode: str = "auto",
+    block_words: int = BLOCK_WORDS,
+) -> DataFrame:
+    """Approximate semi-join: the rows of ``big`` whose ``big_key``
+    *may* appear in ``small[small_key]``, pruned by a fast-tier Bloom
+    filter — zero Python in the probe plan, no shuffle of ``big``.
+
+    Guaranteed superset of the exact semi-join (no false negatives);
+    overshoots by at most a ``p`` fraction of the non-matching rows.
+    Use :func:`bloom_prune_join` when the final answer must be exact.
+
+    ``n_build`` pre-sizes the filter and skips the ``small.count()``
+    job (pass it when the caller already knows the cardinality).
+    ``filter_mode``: ``"driver"`` collects the built filter once to the
+    driver (<= m/8 bytes, the fast default), ``"distributed"`` keeps it
+    as a (word, bits) table end to end (the never-collected shape),
+    ``"auto"`` picks by :data:`DRIVER_FILTER_MAX_BYTES`.
+    """
+    small_key = small_key if small_key is not None else big_key
+    n = n_build if n_build is not None else small.count()
+    config = FilterConfig.complete(
+        n=max(int(n), 1), p=p, hash_method=FAST_HASH_METHOD
+    )
+    if filter_mode == "auto":
+        filter_mode = (
+            "driver" if config.num_bytes <= DRIVER_FILTER_MAX_BYTES else "distributed"
+        )
+    if filter_mode == "driver":
+        src: Union[DataFrame, object] = build_fast_bloom(small, small_key, config)
+    elif filter_mode == "distributed":
+        src = fast_bloom_words(small, small_key, config)
+    else:
+        raise ValueError(f"unknown filter_mode {filter_mode!r}")
+    out_col = "__bloom_prune_member"
+    pruned = with_fast_membership(
+        big, big_key, src, config, out_col=out_col, block_words=block_words
+    )
+    return pruned.where(F.col(out_col)).drop(out_col)
+
+
+def bloom_prune_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Union[str, Tuple[str, str], Sequence[str]],
+    *,
+    how: str = "inner",
+    p: float = 0.01,
+    n_build: Optional[int] = None,
+    filter_mode: str = "auto",
+    block_words: int = BLOCK_WORDS,
+) -> DataFrame:
+    """Exact ``big.join(small, on, how)`` with the big side Bloom-pruned
+    first.
+
+    ``on`` is a single column name present in both frames (merged in
+    the output, standard Spark semantics) or a ``(big_col, small_col)``
+    pair.  ``how`` must be ``"inner"`` or ``"left_semi"`` — the joins
+    for which dropping provably-non-matching big rows is semantics-
+    preserving.  Outer/anti joins must keep (or route differently) the
+    non-matching rows, so pruning would change the answer; they raise.
+
+    Null join keys: the probe hashes null as "" and may pass it, but
+    the exact join discards null-key matches as always — the result is
+    identical to the unpruned join in all cases (this is the oracle
+    contract the driver gate checks).
+
+    The returned plan is: scan(big) -> k codegen'd broadcast block
+    joins + bit tests -> filter -> the ordinary exact join, to which
+    Catalyst/AQE still apply their own strategy (broadcast the small
+    side when it fits, sort-merge otherwise) — pruning composes with,
+    never replaces, the optimizer's join choice.
+    """
+    if how not in _PRUNABLE:
+        raise ValueError(
+            f"how={how!r} cannot be bloom-pruned: only inner/left_semi "
+            "joins may drop non-matching big-side rows before joining"
+        )
+    big_key, small_key, same_name = _resolve_keys(on)
+    pruned = bloom_semi_filter(
+        big,
+        big_key,
+        small,
+        small_key,
+        p=p,
+        n_build=n_build,
+        filter_mode=filter_mode,
+        block_words=block_words,
+    )
+    how = "left_semi" if how in {"leftsemi", "semi"} else how
+    if same_name:
+        return pruned.join(small, on=big_key, how=how)
+    return pruned.join(small, on=pruned[big_key] == small[small_key], how=how)

@@ -1,0 +1,117 @@
+"""Bloom-pruned joins (bloomspark/join.py): the prune is conservative,
+so the pruned join must be EXACTLY the plain join — every test here is
+an equality against Spark's own unpruned join on the same inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomspark.join import bloom_prune_join, bloom_semi_filter
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def urgent(orders):
+    # ~20% of orders: a realistic dimension-side selectivity
+    return orders.where(F.col("o_orderpriority") == "1-URGENT")
+
+
+def test_inner_join_equals_plain_join(lineitem, orders, urgent):
+    pruned = bloom_prune_join(
+        lineitem, urgent, ("l_orderkey", "o_orderkey"), p=0.01
+    ).select("l_orderkey", "l_quantity", "o_orderpriority")
+    plain = lineitem.join(
+        urgent, lineitem["l_orderkey"] == urgent["o_orderkey"]
+    ).select("l_orderkey", "l_quantity", "o_orderpriority")
+    assert _rows(pruned) == _rows(plain)
+
+
+def test_left_semi_equals_plain_semi(lineitem, urgent):
+    pruned = bloom_prune_join(
+        lineitem, urgent, ("l_orderkey", "o_orderkey"), how="left_semi", p=0.05
+    ).select("l_orderkey", "l_linenumber")
+    plain = lineitem.join(
+        urgent, lineitem["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+    assert _rows(pruned) == _rows(plain)
+
+
+def test_same_name_key_merges_column(spark):
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "key long, val string"
+    )
+    small = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(0, 1000, 7)], "key long, tag string"
+    )
+    out = bloom_prune_join(big, small, "key")
+    assert out.columns == ["key", "val", "tag"]
+    plain = big.join(small, on="key")
+    assert _rows(out) == _rows(plain)
+
+
+def test_duplicate_and_null_keys(spark):
+    # dup keys on both sides multiply out exactly as in the plain join;
+    # null keys never match even though the probe hashes null as ""
+    big = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), (None, 4), ("z", 5)],
+        "key string, v int",
+    )
+    small = spark.createDataFrame(
+        [("a", 10), ("a", 20), (None, 30)], "key string, w int"
+    )
+    out = bloom_prune_join(big, small, "key")
+    plain = big.join(small, on="key")
+    assert _rows(out) == _rows(plain)
+    assert len(_rows(out)) == 4  # a×a only
+
+
+def test_distributed_filter_mode(lineitem, urgent):
+    pruned = bloom_prune_join(
+        lineitem,
+        urgent,
+        ("l_orderkey", "o_orderkey"),
+        filter_mode="distributed",
+        p=0.01,
+    ).select("l_orderkey", "o_orderkey")
+    plain = lineitem.join(
+        urgent, lineitem["l_orderkey"] == urgent["o_orderkey"]
+    ).select("l_orderkey", "o_orderkey")
+    assert _rows(pruned) == _rows(plain)
+
+
+def test_semi_filter_is_conservative_superset(spark):
+    big = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(5000)], "key string, v int"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 5000, 50)], "key string"
+    )
+    kept = bloom_semi_filter(big, "key", small, p=0.01)
+    kept_keys = {r["key"] for r in kept.select("key").collect()}
+    true_keys = {f"k{i}" for i in range(0, 5000, 50)}
+    assert true_keys <= kept_keys  # no false negatives, ever
+    # false positives bounded: ~p of the 4900 non-members, with slack
+    assert len(kept_keys - true_keys) <= 0.05 * 4900
+
+
+def test_n_build_skips_count_and_unsupported_how_raises(spark):
+    big = spark.createDataFrame([(1, "x")], "key long, v string")
+    small = spark.createDataFrame([(1,)], "key long")
+    out = bloom_prune_join(big, small, "key", n_build=10)
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="cannot be bloom-pruned"):
+        bloom_prune_join(big, small, "key", how="left_outer")
+    with pytest.raises(ValueError, match="composite"):
+        bloom_prune_join(big, small, ("a", "b", "c"))
+
+
+def test_prune_plan_is_native_and_prunes_before_join(lineitem, urgent):
+    """The probe stage must be codegen'd broadcast joins (no Python
+    workers) with the member filter applied BEFORE the exact join."""
+    out = bloom_prune_join(lineitem, urgent, ("l_orderkey", "o_orderkey"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
