@@ -500,6 +500,21 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN machinery checked exactly: spherical-kmeans cells are
+    assigned to every vector, and probing ALL cells (n_probe = C) must
+    reproduce the exact cosine top-8 — partitioning covers each row
+    exactly once, pruning at full width is a no-op.  Recall at partial
+    n_probe is measured in tests/test_pipeline.py."""
+    from bloomspark.pipeline import ivf_topk, ivf_train_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 1).select("embedding").first()[0]
+    cent = ivf_train_centroids(emb, n_centroids=16, sample_rows=2000, seed=7)
+    top = ivf_topk(emb, [float(x) for x in qvec], cent, k=8, n_probe=16)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint dedup groups: documents sharing a
     fingerprint are exactly the documents sharing normalized text
@@ -707,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "knn_topk": q_knn_topk,
+        "ivf_topk": q_ivf_topk,
         "fingerprints": q_fingerprints,
         "events_error_users": q_events_error_users,
         "grouped_membership": q_grouped_membership,
@@ -1018,6 +1034,18 @@ def oracle_sql() -> dict[str, str]:
             FROM part p
             LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey) l
               ON p.p_partkey = l.l_partkey
+        """,
+        "ivf_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+            scored AS (
+                SELECT e.vec_id AS id,
+                       list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+                FROM embeddings e, q
+            )
+            SELECT id, round(cos, 6) AS cosine
+            FROM scored ORDER BY cos DESC, id ASC LIMIT 8
         """,
         "bloom_prune_join": """
             SELECT l_returnflag,

@@ -18,7 +18,8 @@ from .dedup import (
     embedding_cosine_pairs,
     unpersist_intermediates,
 )
-from .simsearch import brute_force_topk, lsh_bucketed_topk
+from .simsearch import (brute_force_topk, ivf_assign, ivf_topk,
+                        ivf_train_centroids, lsh_bucketed_topk)
 from .text import (
     with_language_id,
     with_quality,
@@ -37,6 +38,9 @@ __all__ = [
     "unpersist_intermediates",
     "brute_force_topk",
     "lsh_bucketed_topk",
+    "ivf_train_centroids",
+    "ivf_assign",
+    "ivf_topk",
     "with_language_id",
     "with_quality",
     "with_token_counts",

@@ -109,6 +109,129 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
 
 
+def ivf_train_centroids(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: spherical k-means (unit-norm data
+    and centroids, so nearest-centroid = highest cosine) on a bounded
+    driver-side sample.
+
+    The standard IVF recipe: centroids are tiny relative to the corpus,
+    so training reads ``sample_rows`` rows once (Arrow ``toPandas``)
+    and everything after is numpy on the driver — at 100 TB the sample
+    is still ``sample_rows`` rows, never a full scan.  kmeans++-style
+    seeding from a fixed RandomState keeps the quantizer deterministic;
+    empty cells are re-seeded from the points worst-served by their
+    current centroid.  Returns a (n_centroids x dim) float64 ndarray —
+    persist it with ``np.save`` next to the table and recompute cell
+    assignments only when it changes.
+    """
+    pdf = emb.select(vec_col).limit(sample_rows).toPandas()
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0.0, 1.0, norms)
+    n, _ = X.shape
+    c = min(n_centroids, n)
+    rng = np.random.RandomState(seed)
+    # kmeans++ seeding under cosine distance (1 - dot on unit vectors)
+    cent = [X[rng.randint(n)]]
+    for _ in range(1, c):
+        d = 1.0 - np.max(np.vstack(cent) @ X.T, axis=0)
+        d = np.clip(d, 0.0, None)
+        probs = d / d.sum() if d.sum() > 0 else None
+        cent.append(X[rng.choice(n, p=probs)])
+    C = np.vstack(cent)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(c):
+            members = X[assign == j]
+            if len(members) == 0:
+                # re-seed an empty cell at the worst-served point
+                worst = np.argmin(np.max(X @ C.T, axis=1))
+                C[j] = X[worst]
+                continue
+            m = members.sum(axis=0)
+            nm = np.linalg.norm(m)
+            C[j] = m / nm if nm > 0 else C[j]
+    return C
+
+
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(norms == 0.0, 1.0, norms)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Append each vector's nearest-centroid cell id — ONE vectorized
+    Arrow-batched matmul per batch (rows x dim @ dim x C), no per-row
+    Python.  At 100 TB this column is computed once at ingest and used
+    as a partition/cluster key, so probes prune to n_probe cells'
+    partitions instead of scanning the corpus."""
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("int")
+    def cell(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series([], dtype="int32")
+        X = _unit_rows(np.vstack(batch.to_numpy()).astype(np.float64))
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+    return emb.withColumn(out_col, cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: score only the vectors assigned to
+    the ``n_probe`` cells whose centroids are nearest the query.
+
+    ``cell_col`` names a precomputed :func:`ivf_assign` column (the
+    production shape — assignment amortized at ingest, the probe is
+    partition pruning + a small brute-force scan); when absent, cells
+    are computed in the same scan.  ``n_probe >= n_centroids`` probes
+    every cell and degenerates to the exact :func:`brute_force_topk`
+    answer — the identity the driver oracle checks; recall at smaller
+    ``n_probe`` is measured in tests/test_pipeline.py."""
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qu = q / qn if qn > 0 else q
+    order = np.argsort(-(C @ qu))
+    cells = [int(x) for x in order[: min(n_probe, len(C))]]
+    if cell_col is None:
+        df = ivf_assign(emb, centroids, vec_col=vec_col, out_col="__ivf_cell")
+        cell_col = "__ivf_cell"
+    else:
+        df = emb
+    cand = df.where(F.col(cell_col).isin(cells))
+    ql = _query_array_lit(query_vec)
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        _cosine_expr(F.col(vec_col).cast("array<double>"), ql).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
 def knn_join_bruteforce(
     left: DataFrame,
     right: DataFrame,

@@ -392,6 +392,97 @@ def streaming_bloom_build(
     return writer.start()
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    col: str,
+    config: FilterConfig,
+    checkpoint_dir: str,
+    output_dir: str,
+    *,
+    query_name: str = "bloomspark-stream-dedup",
+    trigger: Optional[dict] = None,
+):
+    """Approximate streaming deduplication with bounded state: emit only
+    first-seen keys, tracking "seen" in a Bloom filter instead of the
+    unbounded exact-state map of ``dropDuplicates``.
+
+    Per micro-batch (foreachBatch): exact-dedup within the batch
+    (``dropDuplicates`` on ``col``), drop rows whose key the
+    accumulated filter already contains, append the survivors to
+    ``output_dir`` (parquet), then OR-merge the survivors' keys into
+    ``<checkpoint_dir>/bitset.bin``.  The probe and the build run on
+    the fast tier (zero Python) when ``config.hash_method ==
+    "XXHash64KM"``, else on the parity-tier pandas probe.
+
+    Error semantics are one-sided relative to the stream's true first
+    occurrences: a true duplicate of an ALREADY-MERGED key is never
+    emitted; a genuinely new key is wrongly dropped with probability
+    <= the filter's current FPP (size ``config`` for the expected total
+    distinct keys).  The filter is persisted AFTER the output append,
+    so an at-least-once replay of a failed batch may re-emit that
+    batch's rows (no loss) — the same trade every idempotent-sink
+    foreachBatch pipeline makes; state is m/8 bytes forever, where
+    ``dropDuplicates`` without a watermark grows without bound.
+
+    Reference analog: none (single-node filters can just be probed
+    in-process); this is README.md's "one-sided set queries" use case
+    composed with Structured Streaming.
+    """
+    from .build import build_bloom
+    from .fast import FAST_HASH_METHOD, build_fast_bloom, with_fast_membership
+    from .probe import with_membership
+
+    fast = config.hash_method == FAST_HASH_METHOD
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    bits_path = os.path.join(checkpoint_dir, "bitset.bin")
+    config_path = os.path.join(checkpoint_dir, "config.json")
+    if not os.path.exists(config_path):
+        import json
+
+        with open(config_path, "w") as f:
+            json.dump({"config": config.to_dict()}, f)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([col])
+        if os.path.exists(bits_path):
+            with open(bits_path, "rb") as f:
+                seen = BloomFilter.from_bytes(config, f.read())
+            mcol = "__dedup_member"
+            probed = (
+                with_fast_membership(batch_df, col, seen, config, out_col=mcol)
+                if fast
+                else with_membership(batch_df, col, seen, out_col=mcol)
+            )
+            new_rows = probed.where(~F.col(mcol)).drop(mcol)
+        else:
+            seen = None
+            new_rows = batch_df
+        # persist the survivors once, then hash exactly those rows
+        new_rows = new_rows.localCheckpoint(eager=True)
+        new_rows.write.mode("append").parquet(output_dir)
+        bf = (
+            build_fast_bloom(new_rows, col, config)
+            if fast
+            else build_bloom(new_rows, col, config)
+        )
+        if seen is not None:
+            bf.union_inplace(seen)
+        tmp = bits_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bf.to_bytes())
+        os.replace(tmp, bits_path)
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "_spark"))
+        .foreachBatch(process_batch)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def streaming_sketch_build(
     stream_df: DataFrame,
     col: str,

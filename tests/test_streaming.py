@@ -336,6 +336,83 @@ def test_streaming_fast_tier_build(spark, tmp_path):
     assert all(bf.contains(str(i)) for i in range(50))
 
 
+def test_streaming_dedup_emits_each_key_once(spark, tmp_path):
+    """Bloom streaming dedup over a rate stream whose values collapse to
+    50 distinct keys: the output parquet holds each key EXACTLY once
+    (duplicates across micro-batches are dropped by the accumulated
+    filter, within-batch by dropDuplicates), and at p=1e-6 no genuinely
+    new key is lost."""
+    from bloomspark.streaming import streaming_dedup
+
+    ckpt = str(tmp_path / "dedup_ck")
+    out = str(tmp_path / "dedup_out")
+    cfg = FilterConfig.complete(n=10_000, p=1e-6, hash_method="XXHash64KM")
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            (F.col("value") % 50).cast("string").alias("key"),
+            F.col("timestamp"),
+        )
+    )
+    q = streaming_dedup(stream, "key", cfg, ckpt, out)
+    try:
+        deadline = time.time() + 40
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                if spark.read.parquet(out).count() >= 50:
+                    time.sleep(5)  # let the in-flight batch persist its filter
+                    break
+            except Exception:
+                continue  # no output files yet
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    keys = [r["key"] for r in got.select("key").collect()]
+    assert sorted(keys) == sorted(set(keys)), "a key was emitted twice"
+    assert set(keys) == {str(i) for i in range(50)}
+    # the persisted filter knows the emitted keys — except possibly those
+    # of one final in-flight batch that q.stop() interrupted between the
+    # output append and the filter persist (the documented at-least-once
+    # ordering: output first, filter second, so replays re-emit, never lose)
+    with open(os.path.join(ckpt, "bitset.bin"), "rb") as f:
+        bf = BloomFilter.from_bytes(cfg, f.read())
+    missing = [k for k in keys if not bf.contains(k)]
+    assert len(missing) <= 5, f"filter missing too many emitted keys: {missing}"
+
+
+def test_streaming_dedup_parity_tier(spark, tmp_path):
+    """Same contract on a parity-tier hash method (pandas probe path)."""
+    from bloomspark.streaming import streaming_dedup
+
+    ckpt = str(tmp_path / "dedup_pck")
+    out = str(tmp_path / "dedup_pout")
+    cfg = FilterConfig.complete(n=10_000, p=1e-6)
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "300")
+        .load()
+        .select((F.col("value") % 20).cast("string").alias("key"))
+    )
+    q = streaming_dedup(stream, "key", cfg, ckpt, out)
+    try:
+        deadline = time.time() + 40
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                if spark.read.parquet(out).count() >= 20:
+                    break
+            except Exception:
+                continue
+    finally:
+        q.stop()
+    keys = [r["key"] for r in spark.read.parquet(out).collect()]
+    assert sorted(keys) == sorted(set(keys))
+    assert set(keys) == {str(i) for i in range(20)}
+
+
 def test_expiring_family_on_fast_method(spark):
     """The whole expiring lifecycle runs under the fast-tier hash method
     (XXHash64KM is a first-class registry method, so snapshot builds and
