@@ -268,6 +268,25 @@ def bench_queries(spark, sf_dir: str):
     )
     shard_holder["shards"].unpersist()
 
+    # IVF ANN (simsearch.py): bounded-sample centroid training is done
+    # once outside the timer (the production amortization); the timed
+    # probe is assignment + n_probe cell pruning + in-cell brute force
+    from bloomspark.pipeline import ivf_assign, ivf_topk, ivf_train_centroids
+
+    cent = ivf_train_centroids(emb, n_centroids=32, sample_rows=5000)
+    emb_cells = ivf_assign(emb, cent).persist()
+    emb_cells.count()  # materialize assignments outside the probe timer
+    timed(
+        "q16_ivf_topk",
+        lambda: ivf_topk(
+            emb_cells, [float(x) for x in qvec], cent, k=10, n_probe=8,
+            cell_col="ivf_cell",
+        ).collect(),
+        emb.count(),
+        clear=False,
+    )
+    emb_cells.unpersist()
+
     # bloom-pruned exact join (join.py): the 100-TB semi-join-reduction
     # pattern — lineitem pruned by a fast-tier filter of the urgent
     # orders' keys inside the scan stage, then the ordinary exact join
