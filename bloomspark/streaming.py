@@ -392,6 +392,85 @@ def streaming_bloom_build(
     return writer.start()
 
 
+def _make_dedup_batch_processor(
+    col: str,
+    config: FilterConfig,
+    checkpoint_dir: str,
+    output_dir: str,
+    rotate_at_population: Optional[int] = None,
+):
+    """The foreachBatch body of :func:`streaming_dedup`, factored out so
+    rotation/suppression semantics are unit-testable with plain batch
+    DataFrames (no live stream, no timing)."""
+    from .build import build_bloom
+    from .fast import FAST_HASH_METHOD, build_fast_bloom, with_fast_membership
+    from .probe import with_membership
+
+    fast = config.hash_method == FAST_HASH_METHOD
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    bits_path = os.path.join(checkpoint_dir, "bitset.bin")
+    prev_path = os.path.join(checkpoint_dir, "bitset_prev.bin")
+    config_path = os.path.join(checkpoint_dir, "config.json")
+    if not os.path.exists(config_path):
+        import json
+
+        with open(config_path, "w") as f:
+            json.dump({"config": config.to_dict()}, f)
+
+    def _load(path):
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return BloomFilter.from_bytes(config, f.read())
+
+    def _store(bf, path):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bf.to_bytes())
+        os.replace(tmp, path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([col])
+        cur = _load(bits_path)
+        prev = _load(prev_path)
+        seen = cur.clone() if cur is not None else None
+        if prev is not None:
+            seen = prev if seen is None else seen.union(prev)
+        if seen is not None:
+            mcol = "__dedup_member"
+            probed = (
+                with_fast_membership(batch_df, col, seen, config, out_col=mcol)
+                if fast
+                else with_membership(batch_df, col, seen, out_col=mcol)
+            )
+            new_rows = probed.where(~F.col(mcol)).drop(mcol)
+        else:
+            new_rows = batch_df
+        # persist the survivors once, then hash exactly those rows
+        new_rows = new_rows.localCheckpoint(eager=True)
+        new_rows.write.mode("append").parquet(output_dir)
+        bf = (
+            build_fast_bloom(new_rows, col, config)
+            if fast
+            else build_bloom(new_rows, col, config)
+        )
+        if cur is not None:
+            bf.union_inplace(cur)
+        if (
+            rotate_at_population is not None
+            and bf.get_estimated_population() >= rotate_at_population
+        ):
+            # generation swap: the full filter becomes "previous", the
+            # current generation restarts empty.  prev is written first:
+            # a crash between the two replaces leaves BOTH generations
+            # holding the keys (over-suppression, never re-emission).
+            _store(bf, prev_path)
+            bf = BloomFilter(config)
+        _store(bf, bits_path)
+
+    return process_batch
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     col: str,
@@ -399,6 +478,7 @@ def streaming_dedup(
     checkpoint_dir: str,
     output_dir: str,
     *,
+    rotate_at_population: Optional[int] = None,
     query_name: str = "bloomspark-stream-dedup",
     trigger: Optional[dict] = None,
 ):
@@ -424,53 +504,24 @@ def streaming_dedup(
     foreachBatch pipeline makes; state is m/8 bytes forever, where
     ``dropDuplicates`` without a watermark grows without bound.
 
+    **Infinite streams**: a single filter saturates as distinct keys
+    pass ``config.n`` (FPP climbs toward 1 and everything is dropped).
+    ``rotate_at_population=W`` bounds that with two generations
+    (current + previous, each sized for W keys): when the current
+    generation's estimated population reaches W it becomes "previous"
+    and a fresh one starts; probes test the union of both.  A key is
+    then suppressed for at least one and at most two generation windows
+    after it is first seen, FPP stays <= that of two W-key filters, and
+    state stays 2·m/8 bytes forever — the standard double-buffer
+    recipe for unbounded-stream dedup.
+
     Reference analog: none (single-node filters can just be probed
     in-process); this is README.md's "one-sided set queries" use case
     composed with Structured Streaming.
     """
-    from .build import build_bloom
-    from .fast import FAST_HASH_METHOD, build_fast_bloom, with_fast_membership
-    from .probe import with_membership
-
-    fast = config.hash_method == FAST_HASH_METHOD
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    bits_path = os.path.join(checkpoint_dir, "bitset.bin")
-    config_path = os.path.join(checkpoint_dir, "config.json")
-    if not os.path.exists(config_path):
-        import json
-
-        with open(config_path, "w") as f:
-            json.dump({"config": config.to_dict()}, f)
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates([col])
-        if os.path.exists(bits_path):
-            with open(bits_path, "rb") as f:
-                seen = BloomFilter.from_bytes(config, f.read())
-            mcol = "__dedup_member"
-            probed = (
-                with_fast_membership(batch_df, col, seen, config, out_col=mcol)
-                if fast
-                else with_membership(batch_df, col, seen, out_col=mcol)
-            )
-            new_rows = probed.where(~F.col(mcol)).drop(mcol)
-        else:
-            seen = None
-            new_rows = batch_df
-        # persist the survivors once, then hash exactly those rows
-        new_rows = new_rows.localCheckpoint(eager=True)
-        new_rows.write.mode("append").parquet(output_dir)
-        bf = (
-            build_fast_bloom(new_rows, col, config)
-            if fast
-            else build_bloom(new_rows, col, config)
-        )
-        if seen is not None:
-            bf.union_inplace(seen)
-        tmp = bits_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(bf.to_bytes())
-        os.replace(tmp, bits_path)
+    process_batch = _make_dedup_batch_processor(
+        col, config, checkpoint_dir, output_dir, rotate_at_population
+    )
 
     writer = (
         stream_df.writeStream.queryName(query_name)

@@ -413,6 +413,50 @@ def test_streaming_dedup_parity_tier(spark, tmp_path):
     assert set(keys) == {str(i) for i in range(20)}
 
 
+def test_streaming_dedup_generational_rotation(spark, tmp_path):
+    """Double-buffer rotation, tested deterministically by driving the
+    foreachBatch body with plain DataFrames: keys are suppressed for at
+    least one and at most two generation windows, then re-admitted —
+    bounded state on an infinite stream."""
+    from bloomspark.streaming import _make_dedup_batch_processor
+
+    ckpt, out = str(tmp_path / "rot_ck"), str(tmp_path / "rot_out")
+    cfg = FilterConfig.complete(n=1000, p=1e-6, hash_method="XXHash64KM")
+    proc = _make_dedup_batch_processor(
+        "key", cfg, ckpt, out, rotate_at_population=30
+    )
+
+    def batch(keys):
+        return spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def emitted():
+        return [r["key"] for r in spark.read.parquet(out).collect()]
+
+    a = [f"a{i}" for i in range(20)]
+    b = [f"b{i}" for i in range(20)]
+    c = [f"c{i}" for i in range(10)]
+    d = [f"d{i}" for i in range(40)]
+
+    proc(batch(a), 0)                 # gen0 pop 20 < 30: no rotation
+    assert sorted(emitted()) == sorted(a)
+    proc(batch(a + b), 1)             # only b new; pop 40 >= 30: rotate
+    assert sorted(emitted()) == sorted(a + b)
+    assert os.path.exists(os.path.join(ckpt, "bitset_prev.bin"))
+    proc(batch(a + b + c), 2)         # a,b suppressed via prev; c new
+    assert sorted(emitted()) == sorted(a + b + c)
+    proc(batch(d), 3)                 # cur pop 10+40 >= 30: rotate again
+    # a/b lived only in the first generation, now discarded -> re-admitted;
+    # d was just rotated into prev -> still suppressed
+    proc(batch(a[:5] + d[:5]), 4)
+    final = emitted()
+    assert sorted(k for k in final if k.startswith("d")) == sorted(d)
+    for k in a[:5]:
+        assert final.count(k) == 2  # first seen + re-admitted after expiry
+    # state stayed two filters of m/8 bytes each
+    assert os.path.getsize(os.path.join(ckpt, "bitset.bin")) <= cfg.num_bytes
+    assert os.path.getsize(os.path.join(ckpt, "bitset_prev.bin")) <= cfg.num_bytes
+
+
 def test_expiring_family_on_fast_method(spark):
     """The whole expiring lifecycle runs under the fast-tier hash method
     (XXHash64KM is a first-class registry method, so snapshot builds and
