@@ -49,7 +49,8 @@ from .sketches import (
     build_sketch,
     build_sketch_checkpointed,
 )
-from .sharded import build_sharded_bloom, with_sharded_membership
+from .sharded import (build_sharded_bloom, load_sharded, save_sharded,
+                      with_sharded_membership)
 from .fast import (
     blocks_from_bloom,
     build_fast_bloom,
@@ -88,6 +89,8 @@ __all__ = [
     "build_sketch_checkpointed",
     "build_sharded_bloom",
     "with_sharded_membership",
+    "save_sharded",
+    "load_sharded",
     "build_fast_bloom",
     "fast_bloom_words",
     "with_fast_membership",

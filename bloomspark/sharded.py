@@ -114,3 +114,46 @@ def with_sharded_membership(
         .cogroup(shard_side.groupBy("__shard"))
         .applyInPandas(probe, schema=out_schema)
     )
+
+
+def save_sharded(
+    shards: DataFrame,
+    path: str,
+    shard_config: FilterConfig,
+    *,
+    num_shards: int,
+) -> None:
+    """Persist the never-collected filter durably: the (shard, rows,
+    ones, bitset) rows go to ``<path>/shards`` as parquet WRITTEN BY THE
+    EXECUTORS (the driver never holds a bitset — the property that makes
+    the tier work stays true through persistence), and the sizing config
+    plus shard count go to ``<path>/config.json`` so a later session can
+    probe without re-deriving anything.
+
+    Same durability role as the reference's named Redis filters
+    (``FilterBuilder.name``/``overwriteIfExists``), at the scale where
+    checkpoint.py's single-bitset layout stops fitting."""
+    import json
+    import os
+
+    shards.write.mode("overwrite").parquet(os.path.join(path, "shards"))
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "config.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"config": shard_config.to_dict(), "num_shards": int(num_shards)}, f
+        )
+    os.replace(tmp, os.path.join(path, "config.json"))
+
+
+def load_sharded(spark, path: str):
+    """-> (shards DataFrame, shard_config, num_shards), ready for
+    :func:`with_sharded_membership`.  The bitsets load lazily from
+    parquet into executors; nothing touches the driver."""
+    import json
+    import os
+
+    with open(os.path.join(path, "config.json")) as f:
+        meta = json.load(f)
+    shards = spark.read.parquet(os.path.join(path, "shards"))
+    return shards, FilterConfig.from_dict(meta["config"]), meta["num_shards"]

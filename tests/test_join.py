@@ -115,3 +115,34 @@ def test_prune_plan_is_native_and_prunes_before_join(lineitem, urgent):
     assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_KEYS = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        max_size=16,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(big_keys=_KEYS, small_keys=_KEYS)
+def test_prune_join_equality_property(spark, big_keys, small_keys):
+    """For ARBITRARY unicode key multisets (guaranteed overlap: half the
+    big side is appended to the small side), the pruned join equals the
+    plain join — the conservative-prune contract end to end through the
+    native hash, the blocked probe and the exact join."""
+    small_keys = small_keys + big_keys[: len(big_keys) // 2]
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(big_keys)], "key string, v int"
+    )
+    small = spark.createDataFrame(
+        [(k, j) for j, k in enumerate(small_keys)], "key string, w int"
+    )
+    out = bloom_prune_join(big, small, "key", p=0.05)
+    plain = big.join(small, on="key")
+    assert _rows(out) == _rows(plain)
