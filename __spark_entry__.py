@@ -317,8 +317,6 @@ def q_cms_repo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min per-repo file counts: estimate >= exact always, and
     within the eps*N bound (checked per repo; exact counts value-matched
     against the SQL GROUP BY)."""
-    import numpy as np
-
     from bloomspark.sketches import CountMinSketch, build_sketch
     from bloomspark.sources import source_code_table
 

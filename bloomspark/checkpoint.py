@@ -40,7 +40,7 @@ from .build import (
     _merge_partial_arrays,
     key_column,
 )
-from .filter import BloomFilter, popcount
+from .filter import BloomFilter
 from .hashing import Keys
 from .params import FilterConfig
 

@@ -30,7 +30,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .filter import BloomFilter, test_positions
+from .filter import BloomFilter
 from .hashing import hash_positions
 from .params import FilterConfig
 

@@ -62,7 +62,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .counting import CountingBloomFilter, counter_dtype, counter_max
+from .counting import CountingBloomFilter
 from .filter import BloomFilter
 from .hashing import FAST_SEED2
 from .params import FilterConfig

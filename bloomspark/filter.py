@@ -21,7 +21,7 @@ from typing import Iterable, List, Optional, Sequence
 
 import numpy as np
 
-from .hashing import as_bytes_array, hash_positions
+from .hashing import hash_positions
 from .params import FilterConfig
 
 # byte -> number of set bits, for the sub-word tail (numpy 1.x has no

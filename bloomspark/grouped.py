@@ -18,7 +18,6 @@ pandas partials, so it is hand-rolled here (SURVEY.md §4).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -28,7 +27,7 @@ from pyspark.sql import functions as F
 from .build import _series_to_keys, key_column
 from .counting import add_saturating, counter_dtype, counter_max
 from .filter import BloomFilter, popcount
-from .hashing import get_hash_fn, murmur3_32
+from .hashing import get_hash_fn
 from .params import FilterConfig
 
 GROUPED_SCHEMA = "group string, rows bigint, ones bigint, bitset binary"

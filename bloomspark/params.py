@@ -12,7 +12,7 @@ arithmetic) so the golden vectors from the reference test-suite hold:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional
 
 #: Hash method registry keys (see bloomspark.hashing).  Names mirror the

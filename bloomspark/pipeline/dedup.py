@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import arrow_udf, pandas_udf
 
-from ..hashing import Keys, keys_from_pandas, murmur3_32
+from ..hashing import Keys, murmur3_32
 
 
 def _flatten_offsets(arr: pa.Array):

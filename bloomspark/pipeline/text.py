@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..hashing import keys_from_pandas, murmur3_32
+from ..hashing import keys_from_pandas
 
 #: Tiny deterministic stopword lists for the n-gram/stopword language
 #: heuristic.  Intentionally small — the operator's value is the Spark

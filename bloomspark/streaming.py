@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .build import build_counting, key_column
