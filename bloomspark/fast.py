@@ -173,6 +173,31 @@ BLOCK_WORDS = 512
 BLOCKS_SCHEMA = "block long, words array<bigint>"
 
 
+def _tag_block_words(df: DataFrame, array_col: str, block_words: int) -> DataFrame:
+    """Stamp the blocking granularity into the array column's schema
+    metadata.  A pre-blocked table probed with a different block_words
+    would silently compute wrong bits — including FALSE NEGATIVES, which
+    would break bloom_prune_join's no-false-negative guarantee — so the
+    producer records it and the probe validates it (no extra Spark job:
+    metadata rides the schema)."""
+    others = [c for c in df.columns if c != array_col]
+    return df.select(
+        *others,
+        F.col(array_col).alias(array_col, metadata={"block_words": block_words}),
+    )
+
+
+def _check_block_words(df: DataFrame, array_col: str, block_words: int) -> None:
+    meta = df.schema[array_col].metadata or {}
+    tagged = meta.get("block_words")
+    if tagged is not None and int(tagged) != int(block_words):
+        raise ValueError(
+            f"blocked table was built with block_words={int(tagged)} but the "
+            f"probe uses block_words={block_words}; bit positions would be "
+            "read from the wrong slots (false negatives possible)"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Counting tier: the same zero-Python treatment for the counting filter.
 # ---------------------------------------------------------------------------
@@ -333,9 +358,10 @@ def blocks_from_bloom(
         }
     )
     try:
-        return spark.createDataFrame(tbl)
+        out = spark.createDataFrame(tbl)
     except Exception:  # pragma: no cover - older Arrow-table support
-        return spark.createDataFrame(tbl.to_pandas(), schema=BLOCKS_SCHEMA)
+        out = spark.createDataFrame(tbl.to_pandas(), schema=BLOCKS_SCHEMA)
+    return _tag_block_words(out, "words", block_words)
 
 
 def words_to_blocks(words: DataFrame, *, block_words: int = BLOCK_WORDS) -> DataFrame:
@@ -355,7 +381,7 @@ def words_to_blocks(words: DataFrame, *, block_words: int = BLOCK_WORDS) -> Data
             ).alias("wm")
         )
     )
-    return wm.select(
+    out = wm.select(
         "block",
         F.transform(
             F.sequence(F.lit(0), F.lit(block_words - 1)),
@@ -364,6 +390,7 @@ def words_to_blocks(words: DataFrame, *, block_words: int = BLOCK_WORDS) -> Data
             ),
         ).alias("words"),
     )
+    return _tag_block_words(out, "words", block_words)
 
 
 def with_fast_membership(
@@ -395,6 +422,7 @@ def with_fast_membership(
     elif set(filter_src.columns) >= {"word", "bits"}:
         blocks = words_to_blocks(filter_src, block_words=block_words)
     else:
+        _check_block_words(filter_src, "words", block_words)
         blocks = filter_src.select("block", "words")
     bits_per_block = 64 * block_words
     a, b = fast_hash_cols(col, config)

@@ -116,6 +116,18 @@ def with_sharded_membership(
     )
 
 
+def _hadoop_fs_and_path(spark, path: str, child: str):
+    """(FileSystem, Path) for ``<path>/<child>`` resolved through the
+    SAME Hadoop filesystem layer DataFrame.write uses — so an
+    hdfs://... or s3a://... destination puts config.json in the same
+    store as the parquet shards (a driver-local open() would silently
+    split the two artifacts across filesystems)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path, child)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def save_sharded(
     shards: DataFrame,
     path: str,
@@ -130,20 +142,30 @@ def save_sharded(
     plus shard count go to ``<path>/config.json`` so a later session can
     probe without re-deriving anything.
 
+    Both artifacts go through the Hadoop FileSystem resolved from
+    ``path``, so local paths, hdfs:// and s3a:// all keep the parquet
+    shards and the config in one store.
+
     Same durability role as the reference's named Redis filters
     (``FilterBuilder.name``/``overwriteIfExists``), at the scale where
     checkpoint.py's single-bitset layout stops fitting."""
     import json
     import os
 
+    spark = shards.sparkSession
     shards.write.mode("overwrite").parquet(os.path.join(path, "shards"))
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, "config.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(
-            {"config": shard_config.to_dict(), "num_shards": int(num_shards)}, f
-        )
-    os.replace(tmp, os.path.join(path, "config.json"))
+    payload = json.dumps(
+        {"config": shard_config.to_dict(), "num_shards": int(num_shards)}
+    ).encode()
+    fs, cfg_path = _hadoop_fs_and_path(spark, path, "config.json")
+    tmp_path = spark._jvm.org.apache.hadoop.fs.Path(path, "config.json.tmp")
+    out = fs.create(tmp_path, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    fs.delete(cfg_path, False)
+    fs.rename(tmp_path, cfg_path)
 
 
 def load_sharded(spark, path: str):
@@ -153,7 +175,14 @@ def load_sharded(spark, path: str):
     import json
     import os
 
-    with open(os.path.join(path, "config.json")) as f:
-        meta = json.load(f)
+    fs, cfg_path = _hadoop_fs_and_path(spark, path, "config.json")
+    stream = fs.open(cfg_path)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    meta = json.loads(raw.decode())
     shards = spark.read.parquet(os.path.join(path, "shards"))
     return shards, FilterConfig.from_dict(meta["config"]), meta["num_shards"]

@@ -81,6 +81,19 @@ class ExpiringBloomFilter:
         self._snapshots = {}
         self._cloned = {}
 
+    #: Bound on the memoized snapshot/clone caches: each entry retains a
+    #: full m-sized filter, so unbounded caches leak one filter per
+    #: distinct (now_ms, grace_ms) a long-lived evaluator probes at.
+    #: FIFO eviction (dict insertion order) — callers overwhelmingly
+    #: probe at one or a few "now"s, so recency hardly matters.
+    _CACHE_MAX = 8
+
+    @classmethod
+    def _cache_put(cls, cache: dict, key, value) -> None:
+        cache[key] = value
+        while len(cache) > cls._CACHE_MAX:
+            cache.pop(next(iter(cache)))
+
     def _with(self, *, ttls=None, writes=None, enabled=None) -> "ExpiringBloomFilter":
         out = ExpiringBloomFilter.__new__(ExpiringBloomFilter)
         out.config = self.config
@@ -145,13 +158,20 @@ class ExpiringBloomFilter:
         probing repeatedly at one evaluation time must not pay a full
         distributed build per probe — the second ``is_known``/``contains``
         at the same ``now_ms`` launches zero Spark jobs (instances are
-        immutable, so the cache can never go stale)."""
+        immutable, so the cache can never go stale).
+
+        Returns a CLONE of the cached filter (the reference's
+        getClonedBloomFilter contract): a caller mutating the returned
+        object (add/remove/union) cannot poison later probes at the same
+        ``now_ms``.  The clone is one numpy copy — noise next to the
+        distributed build it replaces.  The cache itself is
+        FIFO-bounded at ``_CACHE_MAX`` entries."""
         key = (int(now_ms), int(grace_ms))
         hit = self._snapshots.get(key)
         if hit is None:
             hit = build_counting(self.unexpired(now_ms, grace_ms), "key", self.config)
-            self._snapshots[key] = hit
-        return hit
+            self._cache_put(self._snapshots, key, hit)
+        return hit.clone()
 
     def is_known(self, keys: DataFrame, key_col: str, now_ms: int, grace_ms: int = 0) -> DataFrame:
         """Membership column against the unexpired population (isKnown
@@ -223,7 +243,8 @@ class ExpiringBloomFilter:
         disabled the queue stops draining, so expired writes REMAIN
         contained until re-enabled (ExpirationQueue.setEnabled,
         ExpirationQueue.java:48-65).  Memoized per now_ms like
-        :meth:`snapshot_filter`."""
+        :meth:`snapshot_filter`, and like it returns a CLONE of the
+        cached filter so caller mutations cannot corrupt the cache."""
         key = int(now_ms)
         hit = self._cloned.get(key)
         if hit is None:
@@ -233,8 +254,8 @@ class ExpiringBloomFilter:
                 else self.writes.where(F.col("expires_at_ms") > now_ms)
             )
             hit = build_counting(live, "key", self.config).to_bloom_filter()
-            self._cloned[key] = hit
-        return hit
+            self._cache_put(self._cloned, key, hit)
+        return hit.clone()
 
     def contains(self, keys: DataFrame, key_col: str, now_ms: int) -> DataFrame:
         """Membership column against the written-and-unexpired set (the
@@ -356,7 +377,12 @@ def streaming_bloom_build(
     from .build import build_bloom
 
     if use_fast_tier:
-        from .fast import build_fast_bloom as _fast_build
+        from .fast import _require_fast, build_fast_bloom as _fast_build
+
+        # validate NOW: a parity-method config would otherwise only fail
+        # inside foreachBatch on the first micro-batch, surfacing as an
+        # asynchronous streaming-query failure instead of a ValueError
+        _require_fast(config)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     bits_path = os.path.join(checkpoint_dir, "bitset.bin")
@@ -468,6 +494,9 @@ def _make_dedup_batch_processor(
             bf = BloomFilter(config)
         _store(bf, bits_path)
 
+    # surface the tier selection (implicit in config.hash_method) so
+    # callers/operators can see which path their stream runs on
+    process_batch.tier = "fast" if fast else "parity"
     return process_batch
 
 

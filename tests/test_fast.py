@@ -239,3 +239,24 @@ def test_fast_probe_null_keys(spark):
     bf = build_fast_bloom(spark.createDataFrame([("",)], "s string"), "s", CFG)
     got = {r["s"]: r["member"] for r in with_fast_membership(df, "s", bf, CFG).collect()}
     assert got[""] is True and got[None] is True
+
+
+def test_preblocked_table_block_words_mismatch_raises(spark):
+    """ADVICE r3: a pre-blocked (block, words) table carries its blocking
+    granularity in schema metadata; probing it with a different
+    block_words must raise instead of silently reading wrong slots."""
+    from bloomspark.fast import blocks_from_bloom, with_fast_membership
+
+    cfg = FilterConfig.complete(n=500, p=0.01, hash_method="XXHash64KM")
+    bf = build_fast_bloom(
+        spark.range(500).select(F.col("id").cast("string").alias("k")), "k", cfg
+    )
+    blocks = blocks_from_bloom(spark, bf, block_words=256)
+    probe = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    # same block_words: fine
+    assert (
+        with_fast_membership(probe, "k", blocks, cfg, block_words=256)
+        .where("member").count() == 100
+    )
+    with pytest.raises(ValueError, match="block_words=256"):
+        with_fast_membership(probe, "k", blocks, cfg, block_words=512)

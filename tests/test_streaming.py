@@ -538,3 +538,58 @@ def test_applyinpandaswithstate_expiry(spark, tmp_path):
         assert ("a", "expired") not in rows2
     finally:
         q.stop()
+
+
+def test_snapshot_clone_isolation_and_cache_bound(spark):
+    """ADVICE r3: snapshot_filter/cloned_bloom_filter must return a fresh
+    clone per call (the reference's getClonedBloomFilter contract) — a
+    caller mutating the returned filter cannot poison later probes at the
+    same now_ms — and the memo caches stay bounded."""
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("a", 1000, 500), ("b", 1000, 500)]), CFG
+    )
+    snap = ebf.snapshot_filter(now_ms=1200)
+    assert snap.contains("a")
+    snap.remove("a")
+    snap.add("poison")
+    again = ebf.snapshot_filter(now_ms=1200)
+    assert again.contains("a") and not again.contains("poison")
+    assert again is not snap
+
+    ebf2 = ebf.report_write(
+        spark.createDataFrame([("a", 1100)], "key string, ts_ms long")
+    )
+    bf = ebf2.cloned_bloom_filter(now_ms=1200)
+    bf.add("poison")
+    assert not ebf2.cloned_bloom_filter(now_ms=1200).contains("poison")
+
+    # cache stays bounded: many distinct now_ms values do not accumulate
+    for now in range(1201, 1201 + 3 * ExpiringBloomFilter._CACHE_MAX):
+        ebf.snapshot_filter(now_ms=now)
+    assert len(ebf._snapshots) <= ExpiringBloomFilter._CACHE_MAX
+
+
+def test_streaming_fast_tier_validates_eagerly(spark, tmp_path):
+    """ADVICE r3: use_fast_tier with a parity-only hash method must fail
+    with an immediate ValueError, not an async streaming-query error."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )
+    with pytest.raises(ValueError, match="fast tier requires"):
+        streaming_bloom_build(
+            stream, "value", CFG, str(tmp_path / "ck"), use_fast_tier=True
+        )
+
+
+def test_dedup_processor_surfaces_tier(tmp_path):
+    from bloomspark.streaming import _make_dedup_batch_processor
+
+    fast_cfg = FilterConfig.complete(n=1000, p=0.01, hash_method="XXHash64KM")
+    pb = _make_dedup_batch_processor(
+        "key", fast_cfg, str(tmp_path / "a"), str(tmp_path / "b")
+    )
+    assert pb.tier == "fast"
+    pb2 = _make_dedup_batch_processor(
+        "key", CFG, str(tmp_path / "c"), str(tmp_path / "d")
+    )
+    assert pb2.tier == "parity"
