@@ -92,7 +92,7 @@ _SPARSE_POS_BYTES = 4
 
 COUNTING_PARTIAL_SCHEMA = (
     "part_id int, rows bigint, nonzero bigint, overflows bigint, "
-    "fingerprint bigint, t_ms double, counters binary"
+    "fingerprint bigint, t_ms double, kind string, counters binary"
 )
 
 
@@ -505,58 +505,228 @@ _COUNTING_PARTIAL_PA_SCHEMA = pa.schema(
         ("overflows", pa.int64()),
         ("fingerprint", pa.int64()),
         ("t_ms", pa.float64()),
+        ("kind", pa.string()),
         ("counters", pa.binary()),
     ]
 )
 
+#: Dense counting partials allocate an m x dtype array; past this byte
+#: size the accumulator stays sparse regardless of fill (extended-m
+#: filters never densify — a 2^33-slot uint16 array is 16 GiB).
+_COUNTING_DENSE_ALLOC_LIMIT = 1 << 31
+#: Compact the sparse (pos, cnt) chunks once this many entries
+#: accumulate (bounds the transient memory between compactions).
+_COUNTING_COMPACT_ENTRIES = 1 << 24
 
-def _partition_counters_builder(config: FilterConfig, weight: int):
-    m, k = config.m, config.k
-    method = config.hash_method
+
+def _sum_by_position(pos: np.ndarray, cnt: np.ndarray):
+    """(sorted distinct positions, per-position uint64 count sums) via
+    one argsort + cumsum-diff — the vectorized groupBy-sum that keeps
+    compaction O(E log E) with no np.add.at scatter."""
+    order = np.argsort(pos, kind="stable")
+    sp = pos[order]
+    sc = cnt[order].astype(np.uint64)
+    if sp.size == 0:
+        return sp, sc
+    boundaries = np.flatnonzero(sp[1:] != sp[:-1]) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [sp.size]))
+    csum = np.concatenate(([np.uint64(0)], np.cumsum(sc, dtype=np.uint64)))
+    return sp[starts], csum[ends] - csum[starts]
+
+
+class _CounterAccumulator:
+    """Per-partition (position -> count) accumulator, the counting twin
+    of :class:`_PositionAccumulator` (round-3 verdict item 1: the dense
+    ``m x dtype`` partial was the last m-proportional wire payload).
+
+    Stays sparse — (pos, cnt) chunk pairs, compacted by a sort-merge sum
+    when they grow — and densifies only once the sparse wire form would
+    exceed the dense array AND the dense array is allocatable.  A
+    partition's memory and wire cost is O(distinct positions seen), not
+    O(m): the property that lets extended-m (m > 2^31) counting builds
+    run at all, and the same reason the reference's Redis counting tier
+    pipelines sparse position->count maps instead of shipping the
+    counter array (redis/CountingBloomFilterRedis.java:55-108).
+
+    Counts saturate at the counter max during compaction; saturating add
+    is associative up to saturation, so clamping early vs late yields
+    the same final counters.  ``overflows`` counts clamp events (same
+    at-least-once granularity as the previous per-batch clamping).
+    """
+
+    __slots__ = (
+        "m", "dt", "mx", "pos_dt", "entry_bytes", "dense_bytes",
+        "dense_limit", "pos_chunks", "cnt_chunks", "count", "dense",
+        "overflows",
+    )
+
+    def __init__(self, config: FilterConfig, dense_limit: Optional[int] = None):
+        self.m = config.m
+        self.dt = counter_dtype(config.counting_bits)
+        self.mx = np.uint64(counter_max(config.counting_bits))
+        self.pos_dt = np.uint64 if config.m > 0x7FFFFFFF else np.uint32
+        self.entry_bytes = np.dtype(self.pos_dt).itemsize + self.dt.itemsize
+        self.dense_bytes = config.m * self.dt.itemsize
+        # captured at construction (driver side for the builder closures)
+        # so policy overrides propagate to executors with the closure
+        self.dense_limit = (
+            _COUNTING_DENSE_ALLOC_LIMIT if dense_limit is None else dense_limit
+        )
+        self.pos_chunks = []
+        self.cnt_chunks = []
+        self.count = 0
+        self.dense = None
+        self.overflows = 0
+
+    def _add_dense(self, upos: np.ndarray, ucnt: np.ndarray) -> None:
+        wide = self.dense[upos].astype(np.uint64) + ucnt.astype(np.uint64)
+        over = int(np.count_nonzero(wide > self.mx))
+        if over:
+            self.overflows += over
+            np.minimum(wide, self.mx, out=wide)
+        self.dense[upos] = wide.astype(self.dt)
+
+    def add(self, pos: np.ndarray, weight: int = 1) -> None:
+        # per-batch pre-aggregation: positions -> distinct (pos, count)
+        upos, ucnt = np.unique(pos.ravel(), return_counts=True)
+        if weight != 1:
+            ucnt = ucnt * weight
+        self.add_pairs(upos, ucnt)
+
+    def add_pairs(self, upos: np.ndarray, ucnt: np.ndarray) -> None:
+        """Accumulate pre-aggregated (position, count) pairs (positions
+        MAY repeat across calls — compaction sums them)."""
+        if self.dense is not None:
+            self._add_dense(upos, ucnt)
+            return
+        self.pos_chunks.append(upos)
+        self.cnt_chunks.append(ucnt.astype(np.uint64))
+        self.count += upos.size
+        if (
+            self.count * self.entry_bytes > self.dense_bytes
+            and self.dense_bytes <= self.dense_limit
+        ):
+            self.dense = np.zeros(self.m, dtype=self.dt)
+            for upos, ucnt in zip(self.pos_chunks, self.cnt_chunks):
+                self._add_dense(upos, ucnt)
+            self.pos_chunks, self.cnt_chunks = [], []
+        elif self.count > _COUNTING_COMPACT_ENTRIES:
+            self._compact()
+
+    def add_payload(self, kind: str, payload: bytes, config: FilterConfig) -> None:
+        """Accumulate one wire partial of any kind — makes the
+        accumulator double as the executor-side tree-merge kernel (a
+        sparse-in, sparse-out merge never materializes an m-sized array
+        at extended m)."""
+        if kind in ("cdense", "", None):
+            arr = np.frombuffer(payload, dtype=self.dt)
+            nz = np.nonzero(arr)[0]
+            self.add_pairs(nz.astype(self.pos_dt), arr[nz].astype(np.uint64))
+            return
+        if kind not in ("csparse", "csparse64"):
+            raise ValueError(f"unknown counting partial kind {kind!r}")
+        pos, cnt = _decode_counting_pairs(kind, payload, config)
+        if pos.size:
+            self.add_pairs(pos, cnt.astype(np.uint64))
+
+    def _compact(self) -> None:
+        upos, sums = _sum_by_position(
+            np.concatenate(self.pos_chunks), np.concatenate(self.cnt_chunks)
+        )
+        over = int(np.count_nonzero(sums > self.mx))
+        if over:
+            self.overflows += over
+            np.minimum(sums, self.mx, out=sums)
+        self.pos_chunks, self.cnt_chunks = [upos], [sums]
+        self.count = upos.size
+
+    def finish(self):
+        """-> (kind, nonzero, overflows, payload_bytes)."""
+        if self.dense is not None:
+            return (
+                "cdense",
+                int(np.count_nonzero(self.dense)),
+                self.overflows,
+                self.dense.tobytes(),
+            )
+        if self.pos_chunks:
+            self._compact()
+            upos, sums = self.pos_chunks[0], self.cnt_chunks[0]
+        else:
+            upos = np.zeros(0, dtype=self.pos_dt)
+            sums = np.zeros(0, dtype=np.uint64)
+        kind = "csparse64" if self.pos_dt is np.uint64 else "csparse"
+        payload = upos.astype(self.pos_dt).tobytes() + sums.astype(self.dt).tobytes()
+        return kind, int(upos.size), self.overflows, payload
+
+
+def _decode_counting_pairs(kind: str, payload: bytes, config: FilterConfig):
+    """sparse counting payload -> (positions, counts) arrays."""
+    pos_dt = np.uint64 if kind == "csparse64" else np.uint32
+    dt = counter_dtype(config.counting_bits)
+    entry = np.dtype(pos_dt).itemsize + dt.itemsize
+    n = len(payload) // entry
+    split = n * np.dtype(pos_dt).itemsize
+    pos = np.frombuffer(payload, dtype=pos_dt, count=n)
+    cnt = np.frombuffer(payload, dtype=dt, count=n, offset=split)
+    return pos, cnt
+
+
+def add_counting_payload(
+    acc: np.ndarray, kind: str, payload: bytes, config: FilterConfig, on_overflow
+) -> None:
+    """Saturating-add ONE counting partial of any wire kind into a dense
+    counter array — the single merge kernel every counting merge path
+    (executor tree merge, driver final merge, checkpoint resume) uses, so
+    mixed sparse/dense fleets always merge (CLAUDE.md invariant)."""
     dt = counter_dtype(config.counting_bits)
     mx = counter_max(config.counting_bits)
+    if kind in ("cdense", "", None):  # '' / None: pre-kind dense payloads
+        add_saturating(acc, np.frombuffer(payload, dtype=dt), mx, on_overflow)
+        return
+    if kind not in ("csparse", "csparse64"):
+        raise ValueError(f"unknown counting partial kind {kind!r}")
+    pos, cnt = _decode_counting_pairs(kind, payload, config)
+    if pos.size == 0:
+        return
+    wide = acc[pos].astype(np.uint64) + cnt.astype(np.uint64)
+    over = int(np.count_nonzero(wide > np.uint64(mx)))
+    if over:
+        on_overflow(over)
+        np.minimum(wide, np.uint64(mx), out=wide)
+    acc[pos] = wide.astype(acc.dtype)
+
+
+def _partition_counters_builder(config: FilterConfig, weight: int):
+    dense_limit = _COUNTING_DENSE_ALLOC_LIMIT  # freeze policy driver-side
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.time()
-        hash_fn = get_hash_fn(method)
-        counters = np.zeros(m, dtype=dt)
-        overflows = [0]
+        acc = _CounterAccumulator(config, dense_limit)
         rows = 0
         fingerprint = np.uint64(0)
-
-        def on_over(n):
-            overflows[0] += n
-
         for batch in batches:
             keys = Keys.from_arrow(batch.column(0))
             if len(keys) == 0:
                 continue
             pos, fp = _hash_with_fingerprint(keys, config)
-            # positions -> distinct (pos, count) pairs, then one dup-free
-            # fancy add: O(batch*k log) instead of O(m) per batch
-            upos, ucnt = np.unique(pos.ravel(), return_counts=True)
-            if weight != 1:
-                ucnt = ucnt * weight
-            wide = counters[upos].astype(np.uint64) + ucnt.astype(np.uint64)
-            over = wide > np.uint64(mx)
-            n_over = int(np.count_nonzero(over))
-            if n_over:
-                on_over(n_over)
-                np.minimum(wide, np.uint64(mx), out=wide)
-            counters[upos] = wide.astype(dt)
+            acc.add(pos, weight)
             rows += len(keys)
             with np.errstate(over="ignore"):
                 fingerprint += fp
+        kind, nonzero, overflows, payload = acc.finish()
         ctx = TaskContext.get()
         yield pa.RecordBatch.from_pydict(
             {
                 "part_id": [ctx.partitionId() if ctx else -1],
                 "rows": [rows],
-                "nonzero": [int(np.count_nonzero(counters))],
-                "overflows": [overflows[0]],
+                "nonzero": [nonzero],
+                "overflows": [overflows],
                 "fingerprint": [int(fingerprint % np.uint64(2**63))],
                 "t_ms": [(time.time() - t0) * 1000.0],
-                "counters": [counters.tobytes()],
+                "kind": [kind],
+                "counters": [payload],
             },
             schema=_COUNTING_PARTIAL_PA_SCHEMA,
         )
@@ -592,23 +762,26 @@ def build_counting(
     n_parts = df.rdd.getNumPartitions()
     counters_bytes = config.m * counter_dtype(config.counting_bits).itemsize
     if _should_tree_merge(n_parts, counters_bytes, tree_merge_threshold):
-        dt = counter_dtype(config.counting_bits)
-        mx = counter_max(config.counting_bits)
+        dense_limit = _COUNTING_DENSE_ALLOC_LIMIT  # freeze policy driver-side
 
         def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            acc = np.zeros(config.m, dtype=dt)
-            over = [0]
-            for b in pdf["counters"]:
-                add_saturating(acc, np.frombuffer(b, dtype=dt), mx, lambda n: over.__setitem__(0, over[0] + n))
+            # merge THROUGH the hybrid accumulator: sparse inputs merge
+            # sparsely (no m-sized array at extended m) and the output
+            # partial re-chooses the smaller wire form
+            acc = _CounterAccumulator(config, dense_limit)
+            for kind, b in zip(pdf["kind"], pdf["counters"]):
+                acc.add_payload(kind, b, config)
+            kind, nonzero, over, payload = acc.finish()
             return pd.DataFrame(
                 {
                     "part_id": [int(pdf["part_id"].min())],
                     "rows": [int(pdf["rows"].sum())],
-                    "nonzero": [int(np.count_nonzero(acc))],
-                    "overflows": [int(pdf["overflows"].sum()) + over[0]],
+                    "nonzero": [nonzero],
+                    "overflows": [int(pdf["overflows"].sum()) + over],
                     "fingerprint": [int(pdf["fingerprint"].astype(np.uint64).sum() % np.uint64(2**63))],
                     "t_ms": [float(pdf["t_ms"].sum())],
-                    "counters": [acc.tobytes()],
+                    "kind": [kind],
+                    "counters": [payload],
                 }
             )
 
@@ -623,8 +796,10 @@ def build_counting(
     cbf = CountingBloomFilter(config)
     total_over = 0
     for row in rows:
-        arr = np.frombuffer(row["counters"], dtype=counter_dtype(config.counting_bits))
-        add_saturating(cbf.counters, arr, cbf.max_count, cbf._on_overflow)
+        add_counting_payload(
+            cbf.counters, row.get("kind", "cdense"), row["counters"], config,
+            cbf._on_overflow,
+        )
         total_over += int(row["overflows"])
     cbf._overflows += total_over
     return cbf
