@@ -455,3 +455,50 @@ def test_ivf_recall_with_precomputed_cells(emb):
                         k=5, n_probe=1, cell_col="ivf_cell")
     assert one_cell.count() <= 5
     with_cells.unpersist()
+
+
+def test_ivf_training_sample_unbiased_on_clustered_input(spark):
+    """Round-4 item 2: ivf_train_centroids must sample uniformly from
+    the WHOLE table, not a partition prefix.  Fixture: 4 well-separated
+    clusters stored sorted cluster-by-cluster (the layout any
+    partitioned/clustered production table has).  A limit()-prefix
+    sample sees only cluster 0 and the quantizer collapses; the
+    content-hash sample covers all clusters, and training is identical
+    across physical row orders."""
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    dim, per = 8, 500
+    centers = np.eye(4, dim) * 10.0
+    rows = []
+    for c in range(4):  # sorted by cluster on purpose
+        for i in range(per):
+            v = centers[c] + rng.standard_normal(dim) * 0.05
+            rows.append((c * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).coalesce(1)  # single partition in cluster order: worst case for limit()
+
+    cent = ivf_train_centroids(
+        emb, n_centroids=4, sample_rows=200, iters=10, seed=7
+    )
+    # every cluster center must be representable: each true center's best
+    # centroid cosine must be high (collapsed training leaves some
+    # cluster with no nearby centroid)
+    C = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for c in range(4):
+        t = centers[c] / np.linalg.norm(centers[c])
+        assert float(np.max(C @ t)) > 0.95, f"cluster {c} unrepresented"
+
+    # determinism across physical layout: same centroids from a shuffled,
+    # repartitioned copy of the same logical table
+    shuffled = emb.orderBy(F.desc("vec_id")).repartition(7)
+    cent2 = ivf_train_centroids(
+        shuffled, n_centroids=4, sample_rows=200, iters=10, seed=7
+    )
+    assert np.array_equal(cent, cent2)
+
+    # the prefix sample this replaces really does collapse on this fixture
+    prefix = emb.limit(200).toPandas()["embedding"]
+    X = np.vstack(prefix.to_numpy())
+    assert (np.argmax(X @ centers.T, axis=1) == 0).all()
