@@ -559,6 +559,26 @@ def q_fast_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "member")
 
 
+def q_fast_extended_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-m (m > 2^31) fast tier, never collected: the distributed
+    (word, bits) build feeds the blocked broadcast probe directly —
+    no driver bitset can exist at this size (fast.py round-4 item 4).
+    At ~6k keys in 2^33 bits the configured FPP is ~1e-25, so membership
+    equals the exact IN."""
+    from bloomspark.fast import fast_bloom_words, with_fast_membership
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cfg = FilterConfig.complete(
+        m=2**33 + 4096, k=5, extended=True, hash_method="XXHash64KM"
+    )
+    words = fast_bloom_words(lineitem, "l_orderkey", cfg)
+    return with_fast_membership(
+        orders.select("o_orderkey"), "o_orderkey", words, cfg,
+        strategy="exploded",
+    ).select("o_orderkey", "member")
+
+
 def q_fast_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-native counting tier: explode + count(*) position aggregate,
     blocked-broadcast least() probe — frequency estimates equal exact
@@ -727,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_counts": q_grouped_counts,
         "sharded_membership": q_sharded_membership,
         "fast_membership": q_fast_membership,
+        "fast_extended_membership": q_fast_extended_membership,
         "fast_counts": q_fast_counts,
         "bloom_prune_join": q_bloom_prune_join,
         "expiring_known": q_expiring_known,
@@ -1022,6 +1043,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "fast_membership": """
+            SELECT o_orderkey,
+                   o_orderkey IN (SELECT l_orderkey FROM lineitem) AS member
+            FROM orders
+        """,
+        "fast_extended_membership": """
             SELECT o_orderkey,
                    o_orderkey IN (SELECT l_orderkey FROM lineitem) AS member
             FROM orders

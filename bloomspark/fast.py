@@ -393,6 +393,44 @@ def words_to_blocks(words: DataFrame, *, block_words: int = BLOCK_WORDS) -> Data
     return _tag_block_words(out, "words", block_words)
 
 
+def _with_fast_membership_exploded(
+    df: DataFrame,
+    col: str,
+    words: DataFrame,
+    config: FilterConfig,
+    out_col: str,
+) -> DataFrame:
+    """The single-join probe: explode the k positions, ONE join against
+    the (word, bits) table on the word id, re-aggregate with a boolean
+    min (= bool_and) per row id.
+
+    Trade vs the k-join blocked probe: one join instead of k (the filter
+    crosses the executor boundary once, not up to k times), but the
+    probe rows shuffle twice (explode->groupBy, then the rid re-join)
+    unless Spark broadcasts the words side.  This is the ONLY probe
+    shape that works for huge-m / low-fill filters (extended m): the
+    dense 4 KiB blocked form degenerates there to ~one set bit per
+    block, multiplying the broadcast by 512x (measured: a 2^33-bit
+    filter of 600k keys blocks to a >2 GB broadcast; its words form is
+    ~5 MB)."""
+    kept = df.columns
+    out = df.withColumn("__rid", F.monotonically_increasing_id())
+    exploded = out.select(
+        "__rid", F.explode(F.array(*fast_position_cols(col, config))).alias("__pos")
+    ).withColumn("__word", F.expr("__pos div 64"))
+    joined = exploded.join(
+        words.select(F.col("word").alias("__word"), F.col("bits").alias("__bits")),
+        "__word",
+        "left",
+    )
+    test = F.coalesce(
+        F.expr("(shiftright(__bits, CAST(__pos % 64 AS INT)) & 1) = 1"),
+        F.lit(False),
+    )
+    flags = joined.groupBy("__rid").agg(F.min(test).alias(out_col))
+    return out.join(flags, "__rid").select(*kept, out_col)
+
+
 def with_fast_membership(
     df: DataFrame,
     col: str,
@@ -401,18 +439,46 @@ def with_fast_membership(
     *,
     out_col: str = "member",
     block_words: int = BLOCK_WORDS,
+    strategy: str = "kjoin",
 ) -> DataFrame:
     """Append a boolean membership column with a 100% JVM plan.
 
-    Each of the k positions is tested by a broadcast hash join of its
-    block index against the blocked filter, then an in-place
-    ``element_at`` + shift/mask; a missing block (left-join null) tests
-    False.  The plan is scan -> k codegen'd broadcast joins -> project:
-    no shuffle, no Python worker, no per-row bitset traffic.
+    ``strategy="kjoin"`` (default): each of the k positions is tested by
+    a broadcast hash join of its block index against the blocked filter,
+    then an in-place ``element_at`` + shift/mask; a missing block
+    (left-join null) tests False.  The plan is scan -> k codegen'd
+    broadcast joins -> project: no shuffle, no Python worker, no per-row
+    bitset traffic.  Measured against the exploded form at 20M rows
+    (BASELINE.md round-4): the k-join is the faster default whenever the
+    blocked filter fits a broadcast.
+
+    ``strategy="exploded"``: explode the k positions and join the
+    (word, bits) table ONCE, re-aggregating with bool_and — broadcasts
+    the filter once instead of up to k times and never materializes
+    dense blocks, at the cost of a groupBy shuffle.  REQUIRED for
+    extended-m / low-fill filters, where dense 4 KiB blocks would be
+    ~512x larger than the set bits they carry.
+
     ``filter_src`` may be an XXHash64KM :class:`BloomFilter`, the
     distributed (word, bits) table from :func:`fast_bloom_words`, or a
-    pre-blocked (block, words) table."""
+    pre-blocked (block, words) table (kjoin only)."""
     _require_fast(config)
+    if strategy not in ("kjoin", "exploded"):
+        raise ValueError(f"unknown probe strategy {strategy!r}")
+    if strategy == "exploded":
+        if isinstance(filter_src, BloomFilter):
+            if not filter_src.config.is_compatible_to(config):
+                raise ValueError("filter is not compatible with the probe config")
+            words = words_from_bloom(df.sparkSession, filter_src)
+        elif set(filter_src.columns) >= {"word", "bits"}:
+            words = filter_src
+        else:
+            raise ValueError(
+                "strategy='exploded' needs a BloomFilter or a (word, bits) "
+                "table; pre-blocked (block, words) tables only support the "
+                "kjoin strategy"
+            )
+        return _with_fast_membership_exploded(df, col, words, config, out_col)
     if isinstance(filter_src, BloomFilter):
         if not filter_src.config.is_compatible_to(config):
             raise ValueError("filter is not compatible with the probe config")

@@ -260,3 +260,36 @@ def test_preblocked_table_block_words_mismatch_raises(spark):
     )
     with pytest.raises(ValueError, match="block_words=256"):
         with_fast_membership(probe, "k", blocks, cfg, block_words=512)
+
+
+def test_exploded_probe_strategy_matches_kjoin(spark):
+    """Round-4 item 3: the single-join exploded probe must agree with
+    the default k-join blocked probe bit-for-bit, from both a driver
+    BloomFilter and the distributed words table."""
+    from bloomspark.fast import fast_bloom_words, with_fast_membership
+
+    cfg = FilterConfig.complete(n=5_000, p=0.01, hash_method="XXHash64KM")
+    keys = spark.range(5_000).select(F.col("id").cast("string").alias("k"))
+    bf = build_fast_bloom(keys, "k", cfg)
+    probe = spark.range(0, 15_000).select(F.col("id").cast("string").alias("k"))
+
+    base = with_fast_membership(probe, "k", bf, cfg).orderBy("k").toPandas()
+    expl = (
+        with_fast_membership(probe, "k", bf, cfg, strategy="exploded")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert (base["member"] == expl["member"]).all()
+
+    words = fast_bloom_words(keys, "k", cfg)
+    expl2 = (
+        with_fast_membership(probe, "k", words, cfg, strategy="exploded")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert (base["member"] == expl2["member"]).all()
+    # all true keys are members (no false negatives, ever)
+    assert expl["member"][expl["k"].astype(int) < 5_000].all()
+
+    with pytest.raises(ValueError, match="unknown probe strategy"):
+        with_fast_membership(probe, "k", bf, cfg, strategy="nope")
