@@ -128,6 +128,54 @@ def _hadoop_fs_and_path(spark, path: str, child: str):
     return fs, hpath
 
 
+SHARDS_SCHEMA = "shard long, rows bigint, ones bigint, bitset binary"
+
+
+def merge_sharded(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two sharded filters built under the SAME (shard_config,
+    num_shards): union the shard rows, then one groupBy(shard) that ORs
+    each shard's bitsets in pandas.  One shuffle of <= 2S tiny-prefixed
+    rows (bitsets ride the shuffle once each); the driver never sees a
+    bitset.  Associative and commutative like every bloom merge."""
+    from .filter import popcount
+
+    both = a.select("shard", "rows", "ones", "bitset").unionByName(
+        b.select("shard", "rows", "ones", "bitset")
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = None
+        for buf in pdf["bitset"]:
+            arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+            bits = arr.copy() if bits is None else np.bitwise_or(bits, arr)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "rows": [int(pdf["rows"].sum())],
+                "ones": [int(popcount(bits))],
+                "bitset": [bits.tobytes()],
+            }
+        )
+
+    return both.groupBy("shard").applyInPandas(merge, schema=SHARDS_SCHEMA)
+
+
+def estimated_population_sharded(shards: DataFrame, shard_config: FilterConfig) -> int:
+    """Population estimate of a sharded filter: the per-shard swamidass-
+    baldi estimate (BloomFilter.getEstimatedPopulation, java:285-293,
+    computed from each shard's ones count) summed over shards.  Only S
+    (shard, ones) rows reach the driver — never a bitset."""
+    import math
+
+    m, k = shard_config.m, shard_config.k
+    rows = shards.select("shard", "ones").collect()
+    total = 0.0
+    for r in rows:
+        ones = min(int(r["ones"]), m - 1)
+        total += -(m / k) * math.log(1.0 - ones / m)
+    return int(round(total))
+
+
 def save_sharded(
     shards: DataFrame,
     path: str,

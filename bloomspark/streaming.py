@@ -500,6 +500,161 @@ def _make_dedup_batch_processor(
     return process_batch
 
 
+def _make_sharded_dedup_batch_processor(
+    col: str,
+    shard_config: FilterConfig,
+    checkpoint_dir: str,
+    output_dir: str,
+    *,
+    num_shards: int = 64,
+    salt_partitions: int = 4,
+    rotate_at_population: Optional[int] = None,
+):
+    """The foreachBatch body of :func:`streaming_dedup_sharded`: the
+    streaming dedup recipe with the SEEN-state as a SHARDED filter
+    (sharded.py) instead of a driver-held bitset — for streams whose
+    distinct-key population outgrows any single broadcastable filter
+    (10^12 keys need ~TB of bits; the driver path caps at one filter).
+
+    State layout under ``checkpoint_dir``:
+
+    - ``state.json``: {"cur": <dir or null>, "prev": <dir or null>} —
+      the generation pointer, updated by atomic rename AFTER the new
+      generation's parquet is fully written, so a crash mid-batch
+      leaves the previous state referenced and intact (orphaned
+      version dirs are swept lazily).
+    - ``gen_v<batch_id>/``: a :func:`bloomspark.sharded.save_sharded`
+      layout per generation version.
+
+    Per batch: exact in-batch dedup -> cogroup-probe against current
+    (and previous, after a rotation) generations -> append survivors to
+    ``output_dir`` -> build a sharded filter of the survivors ->
+    OR-merge into the current generation (``merge_sharded``: one
+    S-row shuffle, bitsets never driver-resident) -> rotation check on
+    the sharded population estimate.  Same at-least-once/idempotent-OR
+    replay semantics as the driver path (streaming_dedup docstring).
+    """
+    import json
+
+    from .sharded import (
+        build_sharded_bloom,
+        estimated_population_sharded,
+        load_sharded,
+        merge_sharded,
+        save_sharded,
+        with_sharded_membership,
+    )
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state_path = os.path.join(checkpoint_dir, "state.json")
+
+    def _read_state() -> dict:
+        if not os.path.exists(state_path):
+            return {"cur": None, "prev": None}
+        with open(state_path) as f:
+            return json.load(f)
+
+    def _write_state(state: dict) -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, state_path)
+
+    def _sweep(state: dict) -> None:
+        import shutil
+
+        live = {state.get("cur"), state.get("prev")}
+        for name in os.listdir(checkpoint_dir):
+            full = os.path.join(checkpoint_dir, name)
+            if name.startswith("gen_v") and os.path.isdir(full) and full not in live:
+                shutil.rmtree(full, ignore_errors=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _read_state()
+        batch_df = batch_df.dropDuplicates([col])
+        new_rows = batch_df
+        for gen_dir in (state["cur"], state["prev"]):
+            if gen_dir is None:
+                continue
+            shards, _, _ = load_sharded(spark, gen_dir)
+            mcol = "__dedup_member"
+            new_rows = (
+                with_sharded_membership(
+                    new_rows, col, shards, shard_config,
+                    num_shards=num_shards, out_col=mcol,
+                )
+                .where(~F.col(mcol))
+                .drop(mcol)
+            )
+        new_rows = new_rows.localCheckpoint(eager=True)
+        new_rows.write.mode("append").parquet(output_dir)
+        built = build_sharded_bloom(
+            new_rows, col, shard_config,
+            num_shards=num_shards, salt_partitions=salt_partitions,
+        )
+        if state["cur"] is not None:
+            cur_shards, _, _ = load_sharded(spark, state["cur"])
+            built = merge_sharded(built, cur_shards)
+        # a NEW version dir per batch: the merged generation still reads
+        # the old version's parquet lazily, so overwriting in place would
+        # corrupt the very files the merge is scanning
+        new_dir = os.path.join(checkpoint_dir, f"gen_v{batch_id}")
+        save_sharded(built, new_dir, shard_config, num_shards=num_shards)
+        saved = spark.read.parquet(os.path.join(new_dir, "shards"))
+        if (
+            rotate_at_population is not None
+            and estimated_population_sharded(saved, shard_config)
+            >= rotate_at_population
+        ):
+            # generation swap, driver-path semantics: the full filter
+            # becomes "previous", the current generation restarts empty
+            state = {"cur": None, "prev": new_dir}
+        else:
+            state = {"cur": new_dir, "prev": state["prev"]}
+        _write_state(state)
+        _sweep(state)
+
+    process_batch.tier = "sharded"
+    return process_batch
+
+
+def streaming_dedup_sharded(
+    stream_df: DataFrame,
+    col: str,
+    shard_config: FilterConfig,
+    checkpoint_dir: str,
+    output_dir: str,
+    *,
+    num_shards: int = 64,
+    salt_partitions: int = 4,
+    rotate_at_population: Optional[int] = None,
+    query_name: str = "bloomspark-stream-dedup-sharded",
+    trigger: Optional[dict] = None,
+):
+    """:func:`streaming_dedup` with never-collected sharded state — the
+    composition for unbounded streams whose per-generation distinct-key
+    population itself exceeds a driver/broadcastable filter (round-3
+    verdict item 5).  ``shard_config`` sizes ONE shard (n = generation
+    window / num_shards); semantics, error model and rotation behavior
+    match :func:`streaming_dedup` (asserted byte-identical on the same
+    batch sequence in tests/test_streaming.py)."""
+    process_batch = _make_sharded_dedup_batch_processor(
+        col, shard_config, checkpoint_dir, output_dir,
+        num_shards=num_shards, salt_partitions=salt_partitions,
+        rotate_at_population=rotate_at_population,
+    )
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "_spark"))
+        .foreachBatch(process_batch)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     col: str,
