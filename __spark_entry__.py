@@ -513,6 +513,28 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, fake-decode path (pipeline/multimodal.py):
+    deterministic synthetic media blobs -> mapInPandas feature
+    extraction.  The fake features are byte statistics, DuckDB-
+    reproducible from the payload construction; mean/min/max are exact
+    integers (mean*512 = byte sum, and n<=2^24 integers are float32-
+    exact), so the value match is strict."""
+    from bloomspark.pipeline.multimodal import extract_features, make_media_table
+
+    media = make_media_table(spark, 64)
+    feats = extract_features(media, decode_mode="fake")
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha",
+        F.round(F.element_at("feature", 1) * 512, 0).cast("long").alias("byte_sum"),
+        F.element_at("feature", 3).cast("long").alias("byte_min"),
+        F.element_at("feature", 4).cast("long").alias("byte_max"),
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint dedup groups: documents sharing a
     fingerprint are exactly the documents sharing normalized text
@@ -741,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "knn_topk": q_knn_topk,
         "ivf_topk": q_ivf_topk,
+        "multimodal_features": q_multimodal_features,
         "fingerprints": q_fingerprints,
         "events_error_users": q_events_error_users,
         "grouped_membership": q_grouped_membership,
@@ -870,6 +893,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+        """,
+        "multimodal_features": """
+            WITH m AS (
+                SELECT i AS media_id,
+                       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       repeat(sha256('media' || CAST(i AS VARCHAR)), 8) AS payload
+                FROM range(64) t(i)
+            )
+            SELECT media_id, kind,
+                   length(payload) AS n_bytes,
+                   sha256(payload) AS sha,
+                   (SELECT sum(ascii(c)) FROM unnest(string_split(payload, '')) u(c)) AS byte_sum,
+                   (SELECT min(ascii(c)) FROM unnest(string_split(payload, '')) u(c)) AS byte_min,
+                   (SELECT max(ascii(c)) FROM unnest(string_split(payload, '')) u(c)) AS byte_max
+            FROM m
         """,
         "sha_invariant": """
             SELECT doc_id, sha256(text) AS sha FROM documents
