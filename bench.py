@@ -308,6 +308,174 @@ def bench_queries(spark, sf_dir: str):
     return results
 
 
+def _synthetic_docs(spark, rows: int, partitions: int):
+    """Deterministic ~30-word documents with ~5% near-duplicates (id %
+    20 == 19 copies the previous doc's words plus one extra word ->
+     3-shingle jaccard ~0.81, above the 0.8 dedup threshold).  Pure
+    Spark expressions: generation is codegen-fast and identical across
+    runs and parallelism levels."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, rows, 1, partitions)
+    i = F.col("id")
+    j = F.when(i % 20 == 19, i - 1).otherwise(i)
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda p: F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(j, p), F.lit(997)).cast("string")
+                ),
+                256,
+            ),
+            1,
+            6,
+        ),
+    )
+    text = F.concat(
+        F.array_join(words, " "),
+        F.when(i % 20 == 19, F.lit(" zz9x")).otherwise(F.lit("")),
+    )
+    return df.select(i.alias("doc_id"), text.alias("text"))
+
+
+def _synthetic_embeddings(spark, rows: int, dim: int, partitions: int):
+    """Deterministic pseudo-random unit-cube embeddings from xxhash64 of
+    (id, component) — content depends only on ids, never on RNG state."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0, rows, 1, partitions).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda jj: (
+                (F.pmod(F.xxhash64(F.col("id"), jj), F.lit(2001)) - 1000) / 1000.0
+            ),
+        ).cast("array<float>").alias("embedding"),
+    )
+
+
+def bench_sf1_queries(spark):
+    """The six scale-tier queries one order of magnitude above sf0.1
+    (round-3 verdict item 6): 6M-key membership workloads, 50k-doc
+    minhash, 20k-vector IVF and a 4-batch streaming dedup — where
+    constant factors (worker spawn, JVM warmup, broadcast setup) stop
+    dominating and regressions in the scaling-relevant code paths show.
+    Inputs are synthesized deterministically with pure Spark expressions
+    (TESTDATA.md ships no sf1 parquet); single-run timings (the signal
+    at these sizes is several times the host noise floor)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bloomspark import FilterConfig
+    from bloomspark.fast import build_fast_bloom, with_fast_membership
+    from bloomspark.join import bloom_prune_join
+    from bloomspark.pipeline import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+        minhash_lsh_pairs,
+    )
+    from bloomspark.sharded import build_sharded_bloom, with_sharded_membership
+    from bloomspark.streaming import _make_dedup_batch_processor
+
+    nparts = CPUS
+    n_fact, n_probe = 6_000_000, 1_500_000
+    results = {}
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn()
+        results[name] = round(time.time() - t0, 4)
+
+    fact = spark.range(0, n_fact, 1, nparts).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("sha"),
+        F.pmod(F.col("id"), F.lit(n_fact // 4)).alias("fkey"),
+        (F.col("id") % 100).alias("val"),
+    )
+    probes = spark.range(0, 2 * n_probe, 2, nparts).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("sha")
+    )
+
+    # warm-up outside the timings (same rationale as the sf0.1 block):
+    # JVM codegen + the Python worker pool both spawn here, not under s1
+    from bloomspark import build_bloom as _warm_build
+
+    warm = spark.range(0, 200_000, 1, nparts).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("sha")
+    )
+    wcfg = FilterConfig.complete(n=200_000, p=0.01, hash_method="XXHash64KM")
+    build_fast_bloom(warm, "sha", wcfg)
+    _warm_build(warm, "sha", wcfg)
+
+    fcfg = FilterConfig.complete(n=n_fact, p=0.01, hash_method="XXHash64KM")
+    holder = {}
+    timed("s1_fast_build_6m", lambda: holder.__setitem__(
+        "bf", build_fast_bloom(fact, "sha", fcfg)))
+    timed("s2_fast_probe_1m5", lambda: with_fast_membership(
+        probes, "sha", holder["bf"], fcfg).where("member").count())
+
+    num_shards = 64
+    shcfg = FilterConfig.complete(n=n_fact // num_shards, p=0.01)
+
+    def _shard_build():
+        shards = build_sharded_bloom(
+            fact, "sha", shcfg, num_shards=num_shards
+        ).persist()
+        shards.count()
+        holder["shards"] = shards
+
+    timed("s3_sharded_build_6m", _shard_build)
+    timed("s4_sharded_probe_1m5", lambda: with_sharded_membership(
+        probes, "sha", holder["shards"], shcfg, num_shards=num_shards
+    ).where("member").count())
+    holder["shards"].unpersist()
+
+    dim = spark.range(0, n_fact // 4, 20, nparts // 2).select(
+        F.col("id").alias("dkey"), (F.col("id") % 7).alias("dval")
+    )
+    timed("s5_prune_join_6m", lambda: bloom_prune_join(
+        fact, dim, ("fkey", "dkey"), p=0.01, n_build=n_fact // 80
+    ).count())
+
+    docs = _synthetic_docs(spark, 30_000, nparts)
+    timed("s6_minhash_lsh_30k", lambda: minhash_lsh_pairs(
+        docs, verify_threshold=0.8).count())
+
+    emb = _synthetic_embeddings(spark, 20_000, 64, nparts)
+    cent = ivf_train_centroids(emb, n_centroids=32, sample_rows=5000)
+    cells = ivf_assign(emb, cent).persist()
+    cells.count()
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    timed("s7_ivf_topk_20k", lambda: ivf_topk(
+        cells, qvec, cent, k=10, n_probe=8, cell_col="ivf_cell").collect())
+    cells.unpersist()
+
+    dcfg = FilterConfig.complete(n=2_000_000, p=0.01, hash_method="XXHash64KM")
+    tmp = tempfile.mkdtemp(prefix="bloomspark_s8_")
+    try:
+        proc = _make_dedup_batch_processor(
+            "sha", dcfg, os.path.join(tmp, "ck"), os.path.join(tmp, "out")
+        )
+
+        def _stream():
+            # 3 batches x 500k keys, 50% overlap with the previous batch
+            for b in range(3):
+                batch = spark.range(
+                    b * 250_000, b * 250_000 + 500_000, 1, nparts
+                ).select(F.sha2(F.col("id").cast("string"), 256).alias("sha"))
+                proc(batch, b)
+
+        timed("s8_streaming_dedup_1m5", _stream)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return results
+
+
 SCALING_ROWS = int(os.environ.get("BLOOMSPARK_SCALING_ROWS", "20000000"))
 #: Hash method for the scaling job.  The default KM hash is so cheap that
 #: the job is memory-bandwidth-bound and cannot scale past ~8 cores on
@@ -436,6 +604,20 @@ def main():
         "best_of": BEST_OF,
         "build_rows_per_sec": round(build_rows / build_sec, 1),
     }
+
+    if os.environ.get("BLOOMSPARK_BENCH_SF1", "1") != "0":
+        # scale-tier queries one order of magnitude up (6M rows,
+        # deterministic synthetic inputs) — see bench_sf1_queries
+        spark1 = make_spark(CPUS, app="bloomspark-bench-sf1")
+        spark1.sparkContext.setLogLevel("ERROR")
+        s_queries = bench_sf1_queries(spark1)
+        spark1.stop()
+        payload["sf1"] = {
+            "queries": s_queries,
+            "value": round(sum(s_queries.values()), 4),
+            "rows_fact": 6_000_000,
+            "best_of": 1,
+        }
 
     if "--scaling" in sys.argv:
         # primary criterion: N=1 -> 4N=4 pinned cores (the pair where the

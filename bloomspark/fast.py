@@ -455,9 +455,14 @@ def with_fast_membership(
     ``strategy="exploded"``: explode the k positions and join the
     (word, bits) table ONCE, re-aggregating with bool_and — broadcasts
     the filter once instead of up to k times and never materializes
-    dense blocks, at the cost of a groupBy shuffle.  REQUIRED for
-    extended-m / low-fill filters, where dense 4 KiB blocks would be
-    ~512x larger than the set bits they carry.
+    dense blocks, at the cost of shuffling k rows per probe row through
+    a groupBy plus a rid re-join.  MEASURED 20M rows, dense p=0.01
+    filter, fresh pinned JVMs, best-of-3 (scripts/probe_strategy_bench
+    .py, BASELINE.md round-4): kjoin 2.54M rows/s @4 cores / 6.21M @16
+    vs exploded 0.22M / 0.37M — the explode shuffle costs ~12-17x, so
+    kjoin stays the default.  The exploded form is for extended-m /
+    low-fill filters, where dense 4 KiB blocks would be ~512x larger
+    than the set bits they carry and the broadcast stops fitting.
 
     ``filter_src`` may be an XXHash64KM :class:`BloomFilter`, the
     distributed (word, bits) table from :func:`fast_bloom_words`, or a
