@@ -619,6 +619,25 @@ def q_fast_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "est_count")
 
 
+def q_fast_extended_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-m counting, never collected: the distributed sparse
+    (pos, cnt) table (fast_counting_positions) probed with the exploded
+    single-join strategy — no m-proportional structure anywhere, driver
+    or wire.  Exact at this fill, so the oracle is the plain GROUP BY."""
+    from bloomspark.fast import fast_counting_positions, with_fast_estimated_count
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    cfg = FilterConfig.complete(
+        m=2**33 + 64, k=4, counting_bits=32, extended=True,
+        hash_method="XXHash64KM",
+    )
+    pos = fast_counting_positions(lineitem, "l_partkey", cfg)
+    return with_fast_estimated_count(
+        part.select("p_partkey"), "p_partkey", pos, cfg, strategy="exploded"
+    ).select("p_partkey", "est_count")
+
+
 def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned exact join (join.py): lineitem is pruned by a
     JVM-native fast-tier filter of the urgent orders' keys BEFORE the
@@ -772,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_membership": q_fast_membership,
         "fast_extended_membership": q_fast_extended_membership,
         "fast_counts": q_fast_counts,
+        "fast_extended_counts": q_fast_extended_counts,
         "bloom_prune_join": q_bloom_prune_join,
         "expiring_known": q_expiring_known,
     }
@@ -1092,6 +1112,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "fast_counts": """
+            SELECT p.p_partkey,
+                   COALESCE(l.cnt, 0) AS est_count
+            FROM part p
+            LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey) l
+              ON p.p_partkey = l.l_partkey
+        """,
+        "fast_extended_counts": """
             SELECT p.p_partkey,
                    COALESCE(l.cnt, 0) AS est_count
             FROM part p

@@ -238,6 +238,34 @@ def build_fast_counting(df: DataFrame, col: str, config: FilterConfig) -> Counti
     return cbf
 
 
+def _with_fast_estimated_count_exploded(
+    df: DataFrame,
+    col: str,
+    positions: DataFrame,
+    config: FilterConfig,
+    out_col: str,
+) -> DataFrame:
+    """Single-join frequency estimate: explode the k positions, ONE left
+    join against the sparse (pos, cnt) table, re-aggregate with min per
+    row id.  The counting twin of the exploded membership probe — and
+    like it, the ONLY shape for extended-m / low-fill counting filters,
+    where dense blocked counts (block_words x 8 B per nonzero block)
+    would dwarf the actual (pos, cnt) content."""
+    kept = df.columns
+    out = df.withColumn("__rid", F.monotonically_increasing_id())
+    exploded = out.select(
+        "__rid", F.explode(F.array(*fast_position_cols(col, config))).alias("__pos")
+    )
+    joined = exploded.join(
+        positions.select(F.col("pos").alias("__pos"), F.col("cnt").alias("__cnt")),
+        "__pos",
+        "left",
+    )
+    per_pos = F.coalesce(F.col("__cnt"), F.lit(0).cast("long"))
+    flags = joined.groupBy("__rid").agg(F.min(per_pos).alias(out_col))
+    return out.join(flags, "__rid").select(*kept, out_col)
+
+
 def with_fast_estimated_count(
     df: DataFrame,
     col: str,
@@ -246,16 +274,34 @@ def with_fast_estimated_count(
     *,
     out_col: str = "est_count",
     block_words: int = BLOCK_WORDS,
+    strategy: str = "kjoin",
 ) -> DataFrame:
     """Minimum-selection frequency estimates with a 100% JVM plan.
 
-    The counters travel as blocked ``array<bigint>`` rows (one count per
-    slot — wider than the packed driver dtype, but the broadcast is
-    count-bounded and the join stays the cache-resident blocked shape);
-    each of the k positions reads its count via in-place ``element_at``
-    and the estimate is the native ``least`` of the k reads.  Missing
-    blocks/slots count 0."""
+    ``strategy="kjoin"`` (default): the counters travel as blocked
+    ``array<bigint>`` rows (one count per slot — wider than the packed
+    driver dtype, but the broadcast is count-bounded and the join stays
+    the cache-resident blocked shape); each of the k positions reads
+    its count via in-place ``element_at`` and the estimate is the
+    native ``least`` of the k reads.  Missing blocks/slots count 0.
+
+    ``strategy="exploded"``: one join of the exploded positions against
+    the sparse (pos, cnt) table (:func:`fast_counting_positions`) and a
+    min re-aggregation — the extended-m / low-fill shape, mirroring the
+    membership probe's strategy trade (see with_fast_membership)."""
     _require_fast(config)
+    if strategy not in ("kjoin", "exploded"):
+        raise ValueError(f"unknown probe strategy {strategy!r}")
+    if strategy == "exploded":
+        if isinstance(filter_src, CountingBloomFilter):
+            raise ValueError(
+                "strategy='exploded' takes the distributed (pos, cnt) table "
+                "(fast_counting_positions); a driver CountingBloomFilter "
+                "should use the default kjoin strategy"
+            )
+        return _with_fast_estimated_count_exploded(
+            df, col, filter_src, config, out_col
+        )
     spark = df.sparkSession
     if isinstance(filter_src, CountingBloomFilter):
         if not filter_src.config.is_compatible_to(config):

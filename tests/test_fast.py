@@ -293,3 +293,47 @@ def test_exploded_probe_strategy_matches_kjoin(spark):
 
     with pytest.raises(ValueError, match="unknown probe strategy"):
         with_fast_membership(probe, "k", bf, cfg, strategy="nope")
+
+
+def test_exploded_count_strategy_matches_kjoin_and_extended(spark):
+    """The counting twin of the exploded membership probe: same
+    estimates as the blocked kjoin probe on a normal filter, and the
+    never-collected composition at extended m (fast_counting_positions
+    -> exploded estimate) returns exact counts at tiny fill."""
+    from bloomspark.fast import (
+        build_fast_counting,
+        fast_counting_positions,
+        with_fast_estimated_count,
+    )
+
+    cfg = FilterConfig.complete(
+        n=2_000, p=0.01, counting_bits=16, hash_method="XXHash64KM"
+    )
+    # keys with known multiplicity: id % 500 appears 4x
+    keys = spark.range(2_000).select((F.col("id") % 500).cast("string").alias("k"))
+    cbf = build_fast_counting(keys, "k", cfg)
+    probe = spark.range(600).select(F.col("id").cast("string").alias("k"))
+    base = with_fast_estimated_count(probe, "k", cbf, cfg).orderBy("k").toPandas()
+    pos_tbl = fast_counting_positions(keys, "k", cfg)
+    expl = (
+        with_fast_estimated_count(probe, "k", pos_tbl, cfg, strategy="exploded")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert (base["est_count"] == expl["est_count"]).all()
+
+    # extended m: distributed (pos, cnt) -> exploded estimate, exact
+    xcfg = FilterConfig.complete(
+        m=2**33 + 64, k=4, counting_bits=16, extended=True,
+        hash_method="XXHash64KM",
+    )
+    xpos = fast_counting_positions(keys, "k", xcfg)
+    got = (
+        with_fast_estimated_count(probe, "k", xpos, xcfg, strategy="exploded")
+        .toPandas()
+    )
+    ids = got["k"].astype(int)
+    assert (got["est_count"] == np.where(ids < 500, 4, 0)).all()
+
+    with pytest.raises(ValueError, match="exploded"):
+        with_fast_estimated_count(probe, "k", cbf, cfg, strategy="exploded")
