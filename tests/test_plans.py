@@ -156,3 +156,25 @@ def test_topk_uses_take_ordered(spark):
     p = plan(brute_force_topk(emb, [float(x) for x in q], k=10))
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p
+
+
+def test_exploded_probe_plan_no_python_no_nested_loop(spark, lineitem):
+    """The exploded fast probe (extended-m path) stays pure JVM: explode
+    -> ONE shuffled join on word -> hash aggregate -> rid re-join.  No
+    Python node, no nested-loop/cartesian join, and the k-join blocked
+    form's up-to-k broadcasts are gone (at most one broadcast)."""
+    from bloomspark.fast import fast_bloom_words, with_fast_membership
+
+    cfg = FilterConfig.complete(
+        m=2**33 + 64, k=5, extended=True, hash_method="XXHash64KM"
+    )
+    words = fast_bloom_words(lineitem, "l_orderkey", cfg)
+    probed = with_fast_membership(
+        lineitem.select("l_orderkey"), "l_orderkey", words, cfg,
+        strategy="exploded",
+    )
+    p = plan(probed)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for py_node in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert py_node not in p
+    assert p.count("Generate") >= 1  # the explode
