@@ -98,12 +98,25 @@ def bloom_semi_filter(
     driver (<= m/8 bytes, the fast default), ``"distributed"`` keeps it
     as a (word, bits) table end to end (the never-collected shape),
     ``"auto"`` picks by :data:`DRIVER_FILTER_MAX_BYTES`.
+
+    Dimensions past the Java-int sizing cap (optimal m > 2^31 at this
+    ``n``/``p``) complete as extended-m configs automatically: the
+    filter stays a distributed words table and the probe switches to
+    the exploded single-join strategy — slower per row than the blocked
+    k-join (BASELINE.md round-4 measurement) but the only shape that
+    exists once the blocked broadcast stops fitting; past ~10^10 build
+    keys prefer the sharded tier outright.
     """
+    from .params import optimal_m
+
     small_key = small_key if small_key is not None else big_key
     n = n_build if n_build is not None else small.count()
+    extended = optimal_m(max(int(n), 1), p) > 2**31 - 1
     config = FilterConfig.complete(
-        n=max(int(n), 1), p=p, hash_method=FAST_HASH_METHOD
+        n=max(int(n), 1), p=p, hash_method=FAST_HASH_METHOD, extended=extended
     )
+    if extended:
+        filter_mode = "distributed"
     if filter_mode == "auto":
         filter_mode = (
             "driver" if config.num_bytes <= DRIVER_FILTER_MAX_BYTES else "distributed"
@@ -116,7 +129,8 @@ def bloom_semi_filter(
         raise ValueError(f"unknown filter_mode {filter_mode!r}")
     out_col = "__bloom_prune_member"
     pruned = with_fast_membership(
-        big, big_key, src, config, out_col=out_col, block_words=block_words
+        big, big_key, src, config, out_col=out_col, block_words=block_words,
+        strategy="exploded" if extended else "kjoin",
     )
     return pruned.where(F.col(out_col)).drop(out_col)
 

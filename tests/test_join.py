@@ -146,3 +146,18 @@ def test_prune_join_equality_property(spark, big_keys, small_keys):
     out = bloom_prune_join(big, small, "key", p=0.05)
     plain = big.join(small, on="key")
     assert _rows(out) == _rows(plain)
+
+
+def test_prune_join_auto_extends_past_sizing_cap(spark):
+    """A dimension whose optimal m exceeds 2^31 at the requested p must
+    not abort the prune — the config completes as extended-m, the filter
+    stays a distributed words table, and the probe runs the exploded
+    strategy; the result is still exactly the plain join."""
+    big = spark.range(5_000).select(
+        (F.col("id") % 1_000).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    small = spark.range(0, 1_000, 3).select(F.col("id").alias("k"))
+    # n_build forced huge -> optimal m ~ 9.6e9 > 2^31: extended path
+    joined = bloom_prune_join(big, small, "k", n_build=1_000_000_000, p=0.01)
+    expected = big.join(small, "k").count()
+    assert joined.count() == expected
