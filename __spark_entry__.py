@@ -638,6 +638,30 @@ def q_fast_extended_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "est_count")
 
 
+def q_fast_counts_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-tier distributed remove at extended m: adds minus removals
+    as one native outer join of (pos, cnt) aggregates
+    (fast_counting_positions_with_removals), probed with the exploded
+    strategy — the counting remove contract with nothing collected."""
+    from bloomspark.fast import (
+        fast_counting_positions_with_removals,
+        with_fast_estimated_count,
+    )
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    cfg = FilterConfig.complete(
+        m=2**33 + 64, k=4, counting_bits=32, extended=True,
+        hash_method="XXHash64KM",
+    )
+    pos = fast_counting_positions_with_removals(
+        lineitem, lineitem.where(F.col("l_returnflag") == "R"), "l_partkey", cfg
+    )
+    return with_fast_estimated_count(
+        part.select("p_partkey"), "p_partkey", pos, cfg, strategy="exploded"
+    ).select("p_partkey", "est_count")
+
+
 def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned exact join (join.py): lineitem is pruned by a
     JVM-native fast-tier filter of the urgent orders' keys BEFORE the
@@ -792,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_extended_membership": q_fast_extended_membership,
         "fast_counts": q_fast_counts,
         "fast_extended_counts": q_fast_extended_counts,
+        "fast_counts_remove": q_fast_counts_remove,
         "bloom_prune_join": q_bloom_prune_join,
         "expiring_known": q_expiring_known,
     }
@@ -1123,6 +1148,14 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(l.cnt, 0) AS est_count
             FROM part p
             LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey) l
+              ON p.p_partkey = l.l_partkey
+        """,
+        "fast_counts_remove": """
+            SELECT p.p_partkey,
+                   COALESCE(l.cnt, 0) AS est_count
+            FROM part p
+            LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem
+                       WHERE l_returnflag <> 'R' GROUP BY l_partkey) l
               ON p.p_partkey = l.l_partkey
         """,
         "ivf_topk": """

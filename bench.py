@@ -605,7 +605,12 @@ def main():
         "build_rows_per_sec": round(build_rows / build_sec, 1),
     }
 
-    if os.environ.get("BLOOMSPARK_BENCH_SF1", "1") != "0":
+    run_sf1 = os.environ.get("BLOOMSPARK_BENCH_SF1", "1") != "0"
+    if "--no-sf1" in sys.argv:
+        run_sf1 = False
+    if "--sf1" in sys.argv:
+        run_sf1 = True
+    if run_sf1:
         # scale-tier queries one order of magnitude up (6M rows,
         # deterministic synthetic inputs) — see bench_sf1_queries
         spark1 = make_spark(CPUS, app="bloomspark-bench-sf1")

@@ -213,6 +213,33 @@ def fast_counting_positions(df: DataFrame, col: str, config: FilterConfig) -> Da
     return df.select(pos).groupBy("pos").agg(F.count("*").alias("cnt"))
 
 
+def fast_counting_positions_with_removals(
+    adds: DataFrame, removes: DataFrame, col: str, config: FilterConfig
+) -> DataFrame:
+    """Distributed counting-filter remove, fast tier: the removals'
+    per-position counts subtract (floored at 0) from the adds' — the
+    same negative-weight-merge reading of remove as the parity tier
+    (build.build_counting_with_removals; reference semantics
+    CountingBloomFilter.java remove contract), but expressed as one
+    native outer join of two (pos, cnt) aggregates, so it composes with
+    the exploded probe at extended m with nothing ever collected."""
+    _require_fast(config)
+    a = fast_counting_positions(adds, col, config)
+    r = fast_counting_positions(removes, col, config).withColumnRenamed(
+        "cnt", "__rcnt"
+    )
+    return (
+        a.join(r, "pos", "left")
+        .select(
+            "pos",
+            F.greatest(
+                F.col("cnt") - F.coalesce(F.col("__rcnt"), F.lit(0)), F.lit(0)
+            ).alias("cnt"),
+        )
+        .where(F.col("cnt") > 0)
+    )
+
+
 def build_fast_counting(df: DataFrame, col: str, config: FilterConfig) -> CountingBloomFilter:
     """Native counting-filter build collected into an ordinary
     :class:`CountingBloomFilter` — byte-identical to the mapInArrow

@@ -337,3 +337,22 @@ def test_exploded_count_strategy_matches_kjoin_and_extended(spark):
 
     with pytest.raises(ValueError, match="exploded"):
         with_fast_estimated_count(probe, "k", cbf, cfg, strategy="exploded")
+
+
+def test_fast_counting_removals_matches_parity_subtract(spark):
+    """fast_counting_positions_with_removals == parity-tier
+    build_counting_with_removals, position by position, under the same
+    XXHash64KM config (floored subtraction is per-position in both)."""
+    from bloomspark.build import build_counting_with_removals
+    from bloomspark.fast import fast_counting_positions_with_removals
+
+    cfg = FilterConfig.complete(
+        n=1_000, p=0.01, counting_bits=16, hash_method="XXHash64KM"
+    )
+    adds = spark.range(3_000).select((F.col("id") % 600).cast("string").alias("k"))
+    removes = spark.range(600).select((F.col("id") % 300).cast("string").alias("k"))
+    parity = build_counting_with_removals(adds, removes, "k", cfg)
+    pos_tbl = fast_counting_positions_with_removals(adds, removes, "k", cfg).toPandas()
+    got = np.zeros(cfg.m, dtype=np.int64)
+    got[pos_tbl["pos"].to_numpy()] = pos_tbl["cnt"].to_numpy()
+    assert (got == parity.counters.astype(np.int64)).all()
