@@ -638,7 +638,14 @@ def streaming_dedup_sharded(
     verdict item 5).  ``shard_config`` sizes ONE shard (n = generation
     window / num_shards); semantics, error model and rotation behavior
     match :func:`streaming_dedup` (asserted byte-identical on the same
-    batch sequence in tests/test_streaming.py)."""
+    batch sequence in tests/test_streaming.py).
+
+    Write amplification caveat: each micro-batch persists the FULL
+    merged generation (all shards) to a new version dir — the price of
+    crash-safe atomic state swaps over parquet.  At TB-scale
+    generations, size the trigger interval so batch cadence x filter
+    size fits the store's write budget (or raise num_shards and accept
+    that only the merge output, never a driver bitset, is rewritten)."""
     process_batch = _make_sharded_dedup_batch_processor(
         col, shard_config, checkpoint_dir, output_dir,
         num_shards=num_shards, salt_partitions=salt_partitions,
