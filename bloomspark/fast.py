@@ -329,6 +329,12 @@ def with_fast_estimated_count(
         return _with_fast_estimated_count_exploded(
             df, col, filter_src, config, out_col
         )
+    if config.extended:
+        raise ValueError(
+            "extended-m counting filters cannot use the kjoin strategy "
+            "(dense blocked counts dwarf the sparse content); probe the "
+            "(pos, cnt) table with strategy='exploded'"
+        )
     spark = df.sparkSession
     if isinstance(filter_src, CountingBloomFilter):
         if not filter_src.config.is_compatible_to(config):
@@ -557,6 +563,12 @@ def with_fast_membership(
                 "kjoin strategy"
             )
         return _with_fast_membership_exploded(df, col, words, config, out_col)
+    if config.extended:
+        raise ValueError(
+            "extended-m filters cannot use the kjoin strategy: their dense "
+            "4 KiB blocks are ~512x the set bits and the broadcast cannot "
+            "fit; probe with strategy='exploded' (or the sharded tier)"
+        )
     if isinstance(filter_src, BloomFilter):
         if not filter_src.config.is_compatible_to(config):
             raise ValueError("filter is not compatible with the probe config")

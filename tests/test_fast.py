@@ -153,7 +153,12 @@ def test_fast_extended_m_words_path(spark):
     with pytest.raises(ValueError, match="extended"):
         build_fast_bloom(df, "s", cfg)
     words = fast_bloom_words(df, "s", cfg)
-    probed = with_fast_membership(df, "s", words, cfg)
+    # round-4: extended filters must take the exploded strategy — the
+    # kjoin default would densify ~one-set-bit blocks 512x and is
+    # refused outright
+    with pytest.raises(ValueError, match="kjoin"):
+        with_fast_membership(df, "s", words, cfg)
+    probed = with_fast_membership(df, "s", words, cfg, strategy="exploded")
     assert probed.where(~F.col("member")).count() == 0
     # numpy replica agrees on the 64-bit positions
     keys = Keys.from_objects(["k0", "k1"])

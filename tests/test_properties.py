@@ -111,3 +111,46 @@ def test_all_methods_positions_in_range(keys):
         # determinism
         pos2 = hash_positions(keys, m, k, method)
         assert np.array_equal(np.asarray(pos), np.asarray(pos2)), method
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8142), st.integers(1, 40)),
+        min_size=0, max_size=300,
+    ),
+    st.sampled_from([0, 1, 10**9]),
+)
+@settings(max_examples=60, deadline=None)
+def test_counter_accumulator_matches_naive(pairs, dense_limit):
+    """_CounterAccumulator (hybrid csparse/cdense wire) must agree with
+    a naive dense saturating accumulation for ANY (pos, cnt) sequence
+    and ANY densification policy — sparse-vs-dense is a wire choice,
+    never a semantics choice."""
+    from bloomspark.build import (
+        _CounterAccumulator,
+        add_counting_payload,
+        _COUNTING_COMPACT_ENTRIES,
+    )
+    from bloomspark.counting import counter_dtype, counter_max
+
+    cfg = FilterConfig.complete(n=1000, p=0.02, counting_bits=8)
+    dt, mx = counter_dtype(8), counter_max(8)
+
+    naive = np.zeros(cfg.m, dtype=np.uint64)
+    acc = _CounterAccumulator(cfg, dense_limit)
+    for pos, cnt in pairs:
+        acc.add_pairs(
+            np.array([pos], dtype=np.int64), np.array([cnt], dtype=np.int64)
+        )
+        naive[pos] = min(int(naive[pos]) + cnt, mx)
+    kind, nonzero, _, payload = acc.finish()
+    merged = np.zeros(cfg.m, dtype=dt)
+    add_counting_payload(merged, kind, payload, cfg, lambda n: None)
+    assert (merged.astype(np.uint64) == naive).all()
+    assert nonzero == int(np.count_nonzero(naive))
+    expected_kind = (
+        "cdense"
+        if acc.dense is not None
+        else "csparse"
+    )
+    assert kind == expected_kind
