@@ -274,14 +274,16 @@ def _with_fast_estimated_count_exploded(
 ) -> DataFrame:
     """Single-join frequency estimate: explode the k positions, ONE left
     join against the sparse (pos, cnt) table, re-aggregate with min per
-    row id.  The counting twin of the exploded membership probe — and
-    like it, the ONLY shape for extended-m / low-fill counting filters,
-    where dense blocked counts (block_words x 8 B per nonzero block)
-    would dwarf the actual (pos, cnt) content."""
+    distinct key value.  The counting twin of the exploded membership
+    probe — and like it, the ONLY shape for extended-m / low-fill
+    counting filters, where dense blocked counts (block_words x 8 B per
+    nonzero block) would dwarf the actual (pos, cnt) content.  Keyed on
+    the normalized key value, not a row id (see the membership twin)."""
     kept = df.columns
-    out = df.withColumn("__rid", F.monotonically_increasing_id())
-    exploded = out.select(
-        "__rid", F.explode(F.array(*fast_position_cols(col, config))).alias("__pos")
+    kv = "__fkv"
+    keys = df.select(_fast_key(col).alias(kv)).distinct()
+    exploded = keys.select(
+        kv, F.explode(F.array(*fast_position_cols(kv, config))).alias("__pos")
     )
     joined = exploded.join(
         positions.select(F.col("pos").alias("__pos"), F.col("cnt").alias("__cnt")),
@@ -289,8 +291,11 @@ def _with_fast_estimated_count_exploded(
         "left",
     )
     per_pos = F.coalesce(F.col("__cnt"), F.lit(0).cast("long"))
-    flags = joined.groupBy("__rid").agg(F.min(per_pos).alias(out_col))
-    return out.join(flags, "__rid").select(*kept, out_col)
+    flags = joined.groupBy(kv).agg(F.min(per_pos).alias(out_col))
+    out = df.withColumn(kv, _fast_key(col)).join(flags, kv, "left")
+    return out.select(
+        *kept, F.coalesce(F.col(out_col), F.lit(0).cast("long")).alias(out_col)
+    )
 
 
 def with_fast_estimated_count(
@@ -485,17 +490,24 @@ def _with_fast_membership_exploded(
 
     Trade vs the k-join blocked probe: one join instead of k (the filter
     crosses the executor boundary once, not up to k times), but the
-    probe rows shuffle twice (explode->groupBy, then the rid re-join)
-    unless Spark broadcasts the words side.  This is the ONLY probe
-    shape that works for huge-m / low-fill filters (extended m): the
-    dense 4 KiB blocked form degenerates there to ~one set bit per
-    block, multiplying the broadcast by 512x (measured: a 2^33-bit
-    filter of 600k keys blocks to a >2 GB broadcast; its words form is
-    ~5 MB)."""
+    distinct keys shuffle through explode->groupBy and the verdicts
+    re-join the probe rows.  This is the ONLY probe shape that works
+    for huge-m / low-fill filters (extended m): the dense 4 KiB blocked
+    form degenerates there to ~one set bit per block, multiplying the
+    broadcast by 512x (measured: a 2^33-bit filter of 600k keys blocks
+    to a >2 GB broadcast; its words form is ~5 MB).
+
+    The whole pipeline keys on the NORMALIZED KEY VALUE, never a row
+    id: membership is a pure function of the key, so aggregating per
+    distinct key is both cheaper (duplicate keys explode once) and
+    immune to the monotonically_increasing_id pitfall (branch-dependent
+    ids under non-deterministic upstream shuffles would silently
+    mis-assign verdicts)."""
     kept = df.columns
-    out = df.withColumn("__rid", F.monotonically_increasing_id())
-    exploded = out.select(
-        "__rid", F.explode(F.array(*fast_position_cols(col, config))).alias("__pos")
+    kv = "__fkv"
+    keys = df.select(_fast_key(col).alias(kv)).distinct()
+    exploded = keys.select(
+        kv, F.explode(F.array(*fast_position_cols(kv, config))).alias("__pos")
     ).withColumn("__word", F.expr("__pos div 64"))
     joined = exploded.join(
         words.select(F.col("word").alias("__word"), F.col("bits").alias("__bits")),
@@ -506,8 +518,9 @@ def _with_fast_membership_exploded(
         F.expr("(shiftright(__bits, CAST(__pos % 64 AS INT)) & 1) = 1"),
         F.lit(False),
     )
-    flags = joined.groupBy("__rid").agg(F.min(test).alias(out_col))
-    return out.join(flags, "__rid").select(*kept, out_col)
+    flags = joined.groupBy(kv).agg(F.min(test).alias(out_col))
+    out = df.withColumn(kv, _fast_key(col)).join(flags, kv, "left")
+    return out.select(*kept, F.coalesce(F.col(out_col), F.lit(False)).alias(out_col))
 
 
 def with_fast_membership(
