@@ -192,7 +192,12 @@ def save_sharded(
 
     Both artifacts go through the Hadoop FileSystem resolved from
     ``path``, so local paths, hdfs:// and s3a:// all keep the parquet
-    shards and the config in one store.
+    shards and the config in one store.  Note the config swap is
+    write-tmp / delete / rename (portable across Hadoop filesystems,
+    whose plain rename refuses existing targets) — not atomic like a
+    POSIX replace; writers that need crash-atomic state transitions
+    should write fresh version dirs behind a pointer, the way
+    streaming_dedup_sharded does.
 
     Same durability role as the reference's named Redis filters
     (``FilterBuilder.name``/``overwriteIfExists``), at the scale where

@@ -107,3 +107,49 @@ def test_sharded_save_load_roundtrip(spark, lineitem, shards, tmp_path):
     a = {r["shard"]: bytes(r["bitset"]) for r in sh.collect()}
     b = {r["shard"]: bytes(r["bitset"]) for r in sh2.collect()}
     assert a == b
+
+
+def test_merge_sharded_associative_and_union_equivalent(spark):
+    """merge_sharded is associative/commutative per shard (OR algebra),
+    and probing the merge equals probing the union of the inputs'
+    builds — the property every distributed OR-merge in this repo
+    guarantees (CLAUDE.md invariant), extended to the sharded tier."""
+    from bloomspark.sharded import (
+        build_sharded_bloom,
+        estimated_population_sharded,
+        merge_sharded,
+        with_sharded_membership,
+    )
+
+    cfg = FilterConfig.complete(n=500, p=1e-9)
+    S = 8
+
+    def keys(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").cast("string").alias("k"))
+
+    a = build_sharded_bloom(keys(0, 800), "k", cfg, num_shards=S).persist()
+    b = build_sharded_bloom(keys(800, 1600), "k", cfg, num_shards=S).persist()
+    c = build_sharded_bloom(keys(1600, 2000), "k", cfg, num_shards=S).persist()
+
+    def bits(df):
+        return {
+            int(r["shard"]): bytes(r["bitset"]) for r in df.collect()
+        }
+
+    left = bits(merge_sharded(merge_sharded(a, b), c))
+    right = bits(merge_sharded(a, merge_sharded(b, c)))
+    flipped = bits(merge_sharded(merge_sharded(c, a), b))
+    assert left == right == flipped
+
+    merged = merge_sharded(merge_sharded(a, b), c)
+    probe = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    got = (
+        with_sharded_membership(probe, "k", merged, cfg, num_shards=S)
+        .toPandas()
+        .sort_values("k")
+    )
+    assert (got["member"] == (got["k"].astype(int) < 2000)).all()
+    est = estimated_population_sharded(merged, cfg)
+    assert abs(est - 2000) / 2000 < 0.05
+    for df in (a, b, c):
+        df.unpersist()
