@@ -457,6 +457,20 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=8).select("id_a", "id_b", "hamming")
 
 
+def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (pipeline/dedup.py): the
+    exact all-pairs kernel (``exact=True`` — the explicit opt-in; the
+    LSH-bucketed default runs this same kernel within buckets), matched
+    value-for-value against DuckDB's list_dot_product.  Threshold 0.4
+    yields a meaningful pair set on the uniform-random fixture."""
+    from bloomspark.pipeline import embedding_cosine_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.4, exact=True).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts: whitespace + BPE-ish subword pieces."""
     from bloomspark.pipeline import with_token_counts
@@ -801,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
+        "cosine_dups": q_cosine_dups,
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1088,6 +1103,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = c.id_a
             JOIN sz sb ON sb.doc_id = c.id_b
             WHERE nc / (sa.n + sb.n - nc) >= 0.8
+        """,
+        "cosine_dups": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS c
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cosine
+            FROM p WHERE c >= 0.4
         """,
         "text_stats": """
             SELECT doc_id,
