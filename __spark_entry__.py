@@ -965,9 +965,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, kind,
                    length(payload) AS n_bytes,
                    sha256(payload) AS sha,
-                   (SELECT sum(ascii(c)) FROM unnest(string_split(payload, '')) u(c)) AS byte_sum,
-                   (SELECT min(ascii(c)) FROM unnest(string_split(payload, '')) u(c)) AS byte_min,
-                   (SELECT max(ascii(c)) FROM unnest(string_split(payload, '')) u(c)) AS byte_max
+                   CAST((SELECT sum(ascii(c)) FROM unnest(string_split(payload, '')) u(c)) AS BIGINT) AS byte_sum,
+                   CAST((SELECT min(ascii(c)) FROM unnest(string_split(payload, '')) u(c)) AS BIGINT) AS byte_min,
+                   CAST((SELECT max(ascii(c)) FROM unnest(string_split(payload, '')) u(c)) AS BIGINT) AS byte_max
             FROM m
         """,
         "sha_invariant": """
