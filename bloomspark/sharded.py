@@ -116,6 +116,131 @@ def with_sharded_membership(
     )
 
 
+COUNTING_SHARDS_SCHEMA = "shard long, rows bigint, nonzero bigint, counters binary"
+
+
+def build_sharded_counting(
+    df: DataFrame,
+    col: str,
+    shard_config: FilterConfig,
+    *,
+    num_shards: int = 64,
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """Distributed counting filter as a DataFrame (shard, rows, nonzero,
+    counters) — the counting twin of :func:`build_sharded_bloom`, for
+    frequency estimates past broadcast scale without the exploded
+    join's double shuffle (round-4 verdict item 6).
+
+    ``shard_config`` sizes ONE shard (n = total_n // num_shards) and
+    must carry ``counting_bits``.  Build = the salted two-phase
+    per-group counting build (grouped.py) with the xxhash64 shard id as
+    the group: one (shard, salt) shuffle, counter arrays never
+    driver-resident.  Saturating add is associative up to saturation,
+    so shard merges commute like the bitset OR."""
+    sharded = df.select(
+        key_column(col).alias("__key"),
+        shard_column(col, num_shards).cast("string").alias("__shard"),
+    )
+    from .grouped import build_counting_per_group
+
+    out = build_counting_per_group(
+        sharded, "__shard", "__key", shard_config, salt_partitions=salt_partitions
+    )
+    return out.select(
+        F.col("group").cast("long").alias("shard"), "rows", "nonzero", "counters"
+    )
+
+
+def with_sharded_estimated_count(
+    df: DataFrame,
+    col: str,
+    shards: DataFrame,
+    shard_config: FilterConfig,
+    *,
+    num_shards: int = 64,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Minimum-selection frequency estimate of every row of ``df``
+    against the sharded counting filter — same cogroup plan shape as
+    :func:`with_sharded_membership`: both sides shuffle ONCE on the
+    shard id, each task reads its shard's ONE counter array (the array
+    crosses the wire S times per job, never per probe row).  Shards
+    absent from ``shards`` estimate 0."""
+    from .counting import counter_dtype
+    from .hashing import get_hash_fn
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    m, k, method = shard_config.m, shard_config.k, shard_config.hash_method
+    dt = counter_dtype(shard_config.counting_bits)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType())]
+    )
+    probe_side = df.withColumn("__key", key_column(col)).withColumn(
+        "__shard", shard_column(col, num_shards)
+    )
+    shard_side = shards.select(F.col("shard").alias("__shard"), "counters")
+    orig_cols = df.columns
+
+    def probe(pdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        result = np.zeros(len(pdf), dtype=np.int64)
+        if len(pdf) and len(sdf):
+            counters = np.frombuffer(bytes(sdf["counters"].iloc[0]), dtype=dt)
+            keys = _series_to_keys(pdf["__key"])
+            pos = get_hash_fn(method)(keys, m, k)
+            result = counters[pos].min(axis=1).astype(np.int64)
+        out = pdf[orig_cols].copy()
+        out[out_col] = result
+        return out
+
+    return (
+        probe_side.groupBy("__shard")
+        .cogroup(shard_side.groupBy("__shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
+def merge_sharded_counting(
+    a: DataFrame, b: DataFrame, shard_config: FilterConfig
+) -> DataFrame:
+    """Saturating-add merge of two sharded counting filters built under
+    the SAME (shard_config, num_shards) — the counting twin of
+    :func:`merge_sharded` (union + one groupBy(shard); counter arrays
+    ride the shuffle once each, the driver never sees one).  Pass
+    ``weight=-1``-built removal sketches through this to subtract at
+    shard scale: clamping at 0 happens inside the saturating add."""
+    from .counting import add_saturating, counter_dtype, counter_max
+
+    dt = counter_dtype(shard_config.counting_bits)
+    mx = counter_max(shard_config.counting_bits)
+
+    both = a.select("shard", "rows", "nonzero", "counters").unionByName(
+        b.select("shard", "rows", "nonzero", "counters")
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for buf in pdf["counters"]:
+            arr = np.frombuffer(bytes(buf), dtype=dt)
+            if acc is None:
+                acc = arr.copy()
+            else:
+                add_saturating(acc, arr, mx)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "rows": [int(pdf["rows"].sum())],
+                "nonzero": [int(np.count_nonzero(acc))],
+                "counters": [acc.tobytes()],
+            }
+        )
+
+    return both.groupBy("shard").applyInPandas(
+        merge, schema=COUNTING_SHARDS_SCHEMA
+    )
+
+
 def _hadoop_fs_and_path(spark, path: str, child: str):
     """(FileSystem, Path) for ``<path>/<child>`` resolved through the
     SAME Hadoop filesystem layer DataFrame.write uses — so an
@@ -217,8 +342,17 @@ def save_sharded(
         out.write(payload)
     finally:
         out.close()
-    fs.delete(cfg_path, False)
-    fs.rename(tmp_path, cfg_path)
+    # Hadoop FS signals failure by RETURNING false, not raising; a
+    # swallowed failure here would leave stale/absent config.json while
+    # the parquet shards were already overwritten — a later load_sharded
+    # would then probe with the wrong (m, k, num_shards).
+    if fs.exists(cfg_path) and not fs.delete(cfg_path, False):
+        raise IOError(f"save_sharded: failed to delete old {cfg_path}")
+    if not fs.rename(tmp_path, cfg_path):
+        raise IOError(
+            f"save_sharded: failed to rename {tmp_path} -> {cfg_path}; "
+            "config.json is missing — re-run save_sharded before loading"
+        )
 
 
 def load_sharded(spark, path: str):

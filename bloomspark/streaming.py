@@ -80,6 +80,7 @@ class ExpiringBloomFilter:
         # snapshot memoization (see snapshot_filter)
         self._snapshots = {}
         self._cloned = {}
+        self._depth = 0
 
     #: Bound on the memoized snapshot/clone caches: each entry retains a
     #: full m-sized filter, so unbounded caches leak one filter per
@@ -87,6 +88,15 @@ class ExpiringBloomFilter:
     #: FIFO eviction (dict insertion order) — callers overwhelmingly
     #: probe at one or a few "now"s, so recency hardly matters.
     _CACHE_MAX = 8
+
+    #: Auto-compaction cadence: each report_read/report_write/etc.
+    #: chains another union+groupBy onto the state tables' lineage; a
+    #: long-lived batch evaluator would otherwise build an ever-deeper
+    #: DAG (re-analyzed on every action, re-executed if unpersisted).
+    #: Every this-many chained mutations the new instance's tables are
+    #: localCheckpoint'ed (lazily — materialized at the next action),
+    #: truncating the plan to a leaf.  Set to None to disable.
+    AUTO_COMPACT_EVERY: Optional[int] = 32
 
     @classmethod
     def _cache_put(cls, cache: dict, key, value) -> None:
@@ -112,6 +122,30 @@ class ExpiringBloomFilter:
         out._cloned = (
             self._cloned if writes is None and enabled is None else {}
         )
+        out._depth = self._depth + 1
+        if (
+            self.AUTO_COMPACT_EVERY is not None
+            and out._depth >= self.AUTO_COMPACT_EVERY
+        ):
+            return out.compact()
+        return out
+
+    def compact(self) -> "ExpiringBloomFilter":
+        """Truncate the state tables' lineage (localCheckpoint) —
+        contents are unchanged, so memoized snapshots stay valid.
+        Called automatically every :attr:`AUTO_COMPACT_EVERY` chained
+        mutations; call it directly after a burst of report_read/
+        report_write when a long-lived evaluator wants a fresh leaf at
+        a known point.  The checkpoint is lazy: nothing runs until the
+        next action touches the table."""
+        out = ExpiringBloomFilter.__new__(ExpiringBloomFilter)
+        out.config = self.config
+        out.ttls = self.ttls.localCheckpoint(eager=False)
+        out.writes = self.writes.localCheckpoint(eager=False)
+        out.expiration_enabled = self.expiration_enabled
+        out._snapshots = self._snapshots
+        out._cloned = self._cloned
+        out._depth = 0
         return out
 
     @classmethod
@@ -509,6 +543,7 @@ def _make_sharded_dedup_batch_processor(
     num_shards: int = 64,
     salt_partitions: int = 4,
     rotate_at_population: Optional[int] = None,
+    max_gen_dirs: int = 16,
 ):
     """The foreachBatch body of :func:`streaming_dedup_sharded`: the
     streaming dedup recipe with the SEEN-state as a SHARDED filter
@@ -516,37 +551,56 @@ def _make_sharded_dedup_batch_processor(
     distinct-key population outgrows any single broadcastable filter
     (10^12 keys need ~TB of bits; the driver path caps at one filter).
 
-    State layout under ``checkpoint_dir``:
+    State layout under ``checkpoint_dir`` (must be a DRIVER-LOCAL
+    path — the state/generation bookkeeping uses local filesystem ops;
+    a ``hdfs://``/``s3a://`` URI is rejected up front):
 
-    - ``state.json``: {"cur": <dir or null>, "prev": <dir or null>} —
-      the generation pointer, updated by atomic rename AFTER the new
-      generation's parquet is fully written, so a crash mid-batch
-      leaves the previous state referenced and intact (orphaned
-      version dirs are swept lazily).
+    - ``state.json``: {"cur": <manifest or null>, "prev": ...} where a
+      manifest is ``{"shard_dirs": {"<shard>": "<version dir>"}}`` —
+      each shard points at the LATEST version dir holding its bitset
+      row.  Updated by atomic rename AFTER the new version's parquet is
+      fully written, so a crash mid-batch leaves the previous state
+      referenced and intact (orphaned version dirs are swept lazily).
     - ``gen_v<batch_id>/``: a :func:`bloomspark.sharded.save_sharded`
-      layout per generation version.
+      layout holding ONLY the shards that batch touched.
 
     Per batch: exact in-batch dedup -> cogroup-probe against current
     (and previous, after a rotation) generations -> append survivors to
-    ``output_dir`` -> build a sharded filter of the survivors ->
-    OR-merge into the current generation (``merge_sharded``: one
-    S-row shuffle, bitsets never driver-resident) -> rotation check on
-    the sharded population estimate.  Same at-least-once/idempotent-OR
-    replay semantics as the driver path (streaming_dedup docstring).
+    ``output_dir`` -> build a sharded filter of the survivors (the
+    per-group build emits only shards with >=1 new key) -> OR-merge
+    with JUST those shards' current bitsets (semi-join; untouched
+    shards' files are never read or rewritten) -> write the merged
+    touched shards to a fresh version dir and repoint the manifest.
+    When the generation's manifest spans more than ``max_gen_dirs``
+    version dirs, one compaction rewrites the full generation — so
+    steady-state write traffic is proportional to the shards a batch
+    touches, amortized 1/max_gen_dirs of the filter, not filter-size
+    per batch (the round-4 write-amplification caveat, closed).  Same
+    at-least-once/idempotent-OR replay semantics as the driver path
+    (streaming_dedup docstring).
     """
     import json
 
     from .sharded import (
         build_sharded_bloom,
         estimated_population_sharded,
-        load_sharded,
         merge_sharded,
         save_sharded,
         with_sharded_membership,
     )
 
+    if "://" in checkpoint_dir:
+        raise ValueError(
+            "streaming_dedup_sharded checkpoint_dir must be a driver-local "
+            f"path (got {checkpoint_dir!r}): state.json and generation "
+            "bookkeeping use local filesystem operations. The output_dir "
+            "and the per-version shard parquet MAY live on any Hadoop "
+            "filesystem; only the state pointer is driver-local."
+        )
+
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_path = os.path.join(checkpoint_dir, "state.json")
+    validated_dirs: set = set()
 
     def _read_state() -> dict:
         if not os.path.exists(state_path):
@@ -560,24 +614,89 @@ def _make_sharded_dedup_batch_processor(
             json.dump(state, f)
         os.replace(tmp, state_path)
 
+    def _live_dirs(state: dict) -> set:
+        live = set()
+        for gen in (state.get("cur"), state.get("prev")):
+            if gen:
+                live.update(gen["shard_dirs"].values())
+        return live
+
     def _sweep(state: dict) -> None:
         import shutil
 
-        live = {state.get("cur"), state.get("prev")}
+        live = _live_dirs(state)
         for name in os.listdir(checkpoint_dir):
             full = os.path.join(checkpoint_dir, name)
             if name.startswith("gen_v") and os.path.isdir(full) and full not in live:
                 shutil.rmtree(full, ignore_errors=True)
+
+    def _validate_dir(gen_dir: str) -> None:
+        # a restart with different (shard_config, num_shards) than the
+        # saved generations would silently route keys to the wrong
+        # shard/bitset and re-emit seen keys — fail loudly instead
+        if gen_dir in validated_dirs:
+            return
+        with open(os.path.join(gen_dir, "config.json")) as f:
+            meta = json.load(f)
+        if (
+            FilterConfig.from_dict(meta["config"]) != shard_config
+            or int(meta["num_shards"]) != int(num_shards)
+        ):
+            raise ValueError(
+                f"streaming_dedup_sharded: saved generation {gen_dir} was "
+                f"built with (config={meta['config']}, "
+                f"num_shards={meta['num_shards']}) but this processor was "
+                f"given (config={shard_config.to_dict()}, "
+                f"num_shards={num_shards}); restart with the saved "
+                "parameters or clear the checkpoint."
+            )
+        validated_dirs.add(gen_dir)
+
+    def _load_gen(spark, gen: dict) -> Optional[DataFrame]:
+        """Shards DataFrame for a manifest: each version dir contributes
+        exactly the shards for which it is the latest version."""
+        by_dir: dict = {}
+        for s, d in gen["shard_dirs"].items():
+            by_dir.setdefault(d, []).append(int(s))
+        parts = []
+        for d, shard_ids in by_dir.items():
+            _validate_dir(d)
+            parts.append(
+                spark.read.parquet(os.path.join(d, "shards")).where(
+                    F.col("shard").isin(shard_ids)
+                )
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _save_version(spark, df, gen_dir: str) -> dict:
+        """Persist shard rows to a fresh version dir; return the
+        {shard: dir} entries, read back from the written parquet (no
+        recompute, and only shard ids — never bitsets — hit the
+        driver)."""
+        save_sharded(df, gen_dir, shard_config, num_shards=num_shards)
+        validated_dirs.add(gen_dir)
+        saved = spark.read.parquet(os.path.join(gen_dir, "shards"))
+        return {
+            str(int(r["shard"])): gen_dir
+            for r in saved.select("shard").collect()
+        }
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         state = _read_state()
         batch_df = batch_df.dropDuplicates([col])
         new_rows = batch_df
-        for gen_dir in (state["cur"], state["prev"]):
-            if gen_dir is None:
+        for gen in (state["cur"], state["prev"]):
+            if gen is None:
                 continue
-            shards, _, _ = load_sharded(spark, gen_dir)
+            shards = _load_gen(spark, gen)
+            if shards is None:
+                continue
             mcol = "__dedup_member"
             new_rows = (
                 with_sharded_membership(
@@ -593,25 +712,44 @@ def _make_sharded_dedup_batch_processor(
             new_rows, col, shard_config,
             num_shards=num_shards, salt_partitions=salt_partitions,
         )
-        if state["cur"] is not None:
-            cur_shards, _, _ = load_sharded(spark, state["cur"])
-            built = merge_sharded(built, cur_shards)
-        # a NEW version dir per batch: the merged generation still reads
-        # the old version's parquet lazily, so overwriting in place would
+        cur = state["cur"]
+        if cur is not None:
+            cur_df = _load_gen(spark, cur)
+            if cur_df is not None:
+                # merge ONLY the shards this batch touched: untouched
+                # shards keep their existing version files, unread and
+                # unwritten (the incremental-write property)
+                built = merge_sharded(
+                    built,
+                    cur_df.join(built.select("shard"), "shard", "semi"),
+                )
+        # a NEW version dir per batch: the merged shards still read the
+        # old version's parquet lazily, so overwriting in place would
         # corrupt the very files the merge is scanning
         new_dir = os.path.join(checkpoint_dir, f"gen_v{batch_id}")
-        save_sharded(built, new_dir, shard_config, num_shards=num_shards)
-        saved = spark.read.parquet(os.path.join(new_dir, "shards"))
+        shard_dirs = dict(cur["shard_dirs"]) if cur is not None else {}
+        shard_dirs.update(_save_version(spark, built, new_dir))
+        cur_gen = {"shard_dirs": shard_dirs}
+        if len(set(shard_dirs.values())) > max_gen_dirs:
+            # compaction: rewrite the full generation ONCE so manifest
+            # fan-out (and probe-side unions) stay bounded
+            full = _load_gen(spark, cur_gen)
+            compact_dir = os.path.join(
+                checkpoint_dir, f"gen_v{batch_id}_compact"
+            )
+            cur_gen = {"shard_dirs": _save_version(spark, full, compact_dir)}
+        cur_df = _load_gen(spark, cur_gen)
         if (
             rotate_at_population is not None
-            and estimated_population_sharded(saved, shard_config)
+            and cur_df is not None
+            and estimated_population_sharded(cur_df, shard_config)
             >= rotate_at_population
         ):
             # generation swap, driver-path semantics: the full filter
             # becomes "previous", the current generation restarts empty
-            state = {"cur": None, "prev": new_dir}
+            state = {"cur": None, "prev": cur_gen}
         else:
-            state = {"cur": new_dir, "prev": state["prev"]}
+            state = {"cur": cur_gen, "prev": state["prev"]}
         _write_state(state)
         _sweep(state)
 
@@ -629,6 +767,7 @@ def streaming_dedup_sharded(
     num_shards: int = 64,
     salt_partitions: int = 4,
     rotate_at_population: Optional[int] = None,
+    max_gen_dirs: int = 16,
     query_name: str = "bloomspark-stream-dedup-sharded",
     trigger: Optional[dict] = None,
 ):
@@ -640,16 +779,21 @@ def streaming_dedup_sharded(
     match :func:`streaming_dedup` (asserted byte-identical on the same
     batch sequence in tests/test_streaming.py).
 
-    Write amplification caveat: each micro-batch persists the FULL
-    merged generation (all shards) to a new version dir — the price of
-    crash-safe atomic state swaps over parquet.  At TB-scale
-    generations, size the trigger interval so batch cadence x filter
-    size fits the store's write budget (or raise num_shards and accept
-    that only the merge output, never a driver bitset, is rewritten)."""
+    Writes are INCREMENTAL: each micro-batch persists only the shards
+    it touched to a fresh version dir behind the atomic ``state.json``
+    manifest; untouched shards' parquet is never read or rewritten.
+    When a generation accumulates more than ``max_gen_dirs`` version
+    dirs, one compaction rewrites it whole — steady-state write traffic
+    is touched-shards + 1/max_gen_dirs of the filter per batch, not
+    filter-size x batch-cadence.  ``checkpoint_dir`` must be a
+    driver-local path (state bookkeeping is local-filesystem; rejected
+    up front for ``hdfs://``/``s3a://`` URIs) — ``output_dir`` may be
+    any Hadoop filesystem."""
     process_batch = _make_sharded_dedup_batch_processor(
         col, shard_config, checkpoint_dir, output_dir,
         num_shards=num_shards, salt_partitions=salt_partitions,
         rotate_at_population=rotate_at_population,
+        max_gen_dirs=max_gen_dirs,
     )
     writer = (
         stream_df.writeStream.queryName(query_name)

@@ -648,6 +648,182 @@ def test_streaming_dedup_sharded_matches_driver_path(spark, tmp_path):
     before = emitted(sh_out)
     sh2(batch(c), len(batches))  # all already seen -> nothing emitted
     assert emitted(sh_out) == before
-    # orphan sweep keeps at most cur+prev generation dirs on disk
-    gens = [d for d in os.listdir(sh_ck) if d.startswith("gen_v")]
-    assert len(gens) <= 2
+    # orphan sweep keeps exactly the version dirs the cur/prev
+    # manifests reference, nothing else
+    state = json.load(open(os.path.join(sh_ck, "state.json")))
+    live = set()
+    for gen in (state["cur"], state["prev"]):
+        if gen:
+            live.update(
+                os.path.basename(d) for d in gen["shard_dirs"].values()
+            )
+    gens = {d for d in os.listdir(sh_ck) if d.startswith("gen_v")}
+    assert gens == live
+
+
+def test_sharded_dedup_untouched_shards_not_rewritten(spark, tmp_path):
+    """Round-5 item 2: the sharded dedup state machine writes ONLY the
+    shards a batch touched.  A second batch whose keys land in a subset
+    of shards must leave the first version dir's files byte-for-byte
+    untouched (same paths, mtimes, sizes) and still referenced by the
+    manifest for the untouched shards."""
+    import json
+
+    from bloomspark.streaming import _make_sharded_dedup_batch_processor
+
+    shard_cfg = FilterConfig.complete(n=200, p=1e-9, hash_method="XXHash64KM")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    sh = _make_sharded_dedup_batch_processor(
+        "key", shard_cfg, ck, out, num_shards=8
+    )
+
+    def batch(keys):
+        return spark.createDataFrame([(k,) for k in keys], "key string")
+
+    # batch 0 touches (with high probability) all 8 shards
+    sh(batch([f"a{i}" for i in range(200)]), 0)
+    state0 = json.load(open(os.path.join(ck, "state.json")))
+    dirs0 = set(state0["cur"]["shard_dirs"].values())
+    assert len(dirs0) == 1
+    (v0,) = dirs0
+
+    def snapshot(d):
+        files = {}
+        for root, _, names in os.walk(d):
+            for n in names:
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                files[p] = (st.st_mtime_ns, st.st_size)
+        return files
+
+    before = snapshot(v0)
+
+    # batch 1: ONE new key -> touches exactly one shard
+    sh(batch(["zzz-new-key"]), 1)
+    assert snapshot(v0) == before, "untouched version dir was rewritten"
+
+    state1 = json.load(open(os.path.join(ck, "state.json")))
+    sd = state1["cur"]["shard_dirs"]
+    v1 = os.path.join(ck, "gen_v1")
+    touched = [s for s, d in sd.items() if d == v1]
+    assert len(touched) == 1, f"one-key batch touched shards {touched}"
+    # every other shard still points at the original version dir
+    assert all(d == v0 for s, d in sd.items() if s not in touched)
+    # and the new version dir holds ONLY the touched shard's row
+    rows = spark.read.parquet(os.path.join(v1, "shards")).collect()
+    assert [int(r["shard"]) for r in rows] == [int(touched[0])]
+    # suppression still exact: replaying both old and new keys emits nothing
+    n_before = spark.read.parquet(out).count()
+    sh(batch(["a0", "a150", "zzz-new-key"]), 2)
+    assert spark.read.parquet(out).count() == n_before
+
+
+def test_sharded_dedup_compaction_bounds_dir_fanout(spark, tmp_path):
+    """With max_gen_dirs=2, a third delta dir triggers compaction: the
+    manifest collapses to one dir, orphans are swept, and suppression
+    survives the rewrite."""
+    import json
+
+    from bloomspark.streaming import _make_sharded_dedup_batch_processor
+
+    shard_cfg = FilterConfig.complete(n=200, p=1e-9, hash_method="XXHash64KM")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    sh = _make_sharded_dedup_batch_processor(
+        "key", shard_cfg, ck, out, num_shards=8, max_gen_dirs=2
+    )
+
+    def batch(keys):
+        return spark.createDataFrame([(k,) for k in keys], "key string")
+
+    seen = []
+    for i in range(4):
+        ks = [f"b{i}-{j}" for j in range(40)]
+        seen += ks
+        sh(batch(ks), i)
+    state = json.load(open(os.path.join(ck, "state.json")))
+    dirs = set(state["cur"]["shard_dirs"].values())
+    assert len(dirs) <= 2, f"compaction did not bound fan-out: {dirs}"
+    on_disk = {d for d in os.listdir(ck) if d.startswith("gen_v")}
+    assert on_disk == {os.path.basename(d) for d in dirs}
+    # all 8 shards present in the manifest and all keys still suppressed
+    assert len(state["cur"]["shard_dirs"]) == 8
+    n_before = spark.read.parquet(out).count()
+    assert n_before == len(seen)
+    sh(batch(seen), 99)
+    assert spark.read.parquet(out).count() == n_before
+
+
+def test_sharded_dedup_rejects_mismatched_restart(spark, tmp_path):
+    """ADVICE r4: restarting over saved generations with a different
+    (shard_config, num_shards) must raise, not silently mis-route."""
+    import pytest
+
+    from bloomspark.streaming import _make_sharded_dedup_batch_processor
+
+    shard_cfg = FilterConfig.complete(n=200, p=1e-9, hash_method="XXHash64KM")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    sh = _make_sharded_dedup_batch_processor(
+        "key", shard_cfg, ck, out, num_shards=8
+    )
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    sh(df, 0)
+
+    bad_shards = _make_sharded_dedup_batch_processor(
+        "key", shard_cfg, ck, out, num_shards=4
+    )
+    with pytest.raises(ValueError, match="num_shards"):
+        bad_shards(df, 1)
+
+    other_cfg = FilterConfig.complete(n=500, p=1e-9, hash_method="XXHash64KM")
+    bad_cfg = _make_sharded_dedup_batch_processor(
+        "key", other_cfg, ck, out, num_shards=8
+    )
+    with pytest.raises(ValueError, match="saved generation"):
+        bad_cfg(df, 1)
+
+
+def test_sharded_dedup_rejects_uri_checkpoint_dir(tmp_path):
+    """ADVICE r4: URI-schemed checkpoint_dir fails fast with a clear
+    message instead of dying inside os.path manipulation."""
+    import pytest
+
+    from bloomspark.streaming import _make_sharded_dedup_batch_processor
+
+    shard_cfg = FilterConfig.complete(n=200, p=0.01, hash_method="XXHash64KM")
+    with pytest.raises(ValueError, match="driver-local"):
+        _make_sharded_dedup_batch_processor(
+            "key", shard_cfg, "hdfs://nn/ck", str(tmp_path / "out")
+        )
+
+
+def test_expiring_lineage_bounded_by_auto_compaction(spark):
+    """Round-5 item 5: 100 chained report_reads must not build a
+    100-deep union DAG — auto-compaction truncates the plan every
+    AUTO_COMPACT_EVERY mutations, and semantics are unchanged."""
+    ebf = ExpiringBloomFilter.from_reads(
+        _reads(spark, [("seed", 0, 10_000)]), CFG
+    )
+
+    def plan_depth(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("\n")
+
+    depths = []
+    for i in range(100):
+        ebf = ebf.report_read(_reads(spark, [(f"k{i}", 0, 10_000)]))
+        depths.append(plan_depth(ebf.ttls))
+    # each un-compacted mutation adds union+groupBy nodes; a bounded
+    # plan never exceeds one compaction window's worth of growth
+    window = ExpiringBloomFilter.AUTO_COMPACT_EVERY
+    assert max(depths) <= depths[0] + 4 * window, (
+        f"plan depth grew unbounded: max {max(depths)} from {depths[0]}"
+    )
+    # compaction window really resets (depth drops after a checkpoint)
+    assert min(depths[window:]) < max(depths[:window]) + 4
+    # content is intact after repeated truncation
+    alive = {r["key"] for r in ebf.unexpired(5_000).collect()}
+    assert alive == {"seed"} | {f"k{i}" for i in range(100)}
+    # manual compact() keeps snapshots valid and probes identical
+    snap_before = ebf.snapshot_filter(now_ms=5_000)
+    compacted = ebf.compact()
+    assert compacted.snapshot_filter(now_ms=5_000).counters.tobytes() == \
+        snap_before.counters.tobytes()
