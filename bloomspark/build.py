@@ -544,8 +544,12 @@ class _CounterAccumulator:
     when they grow — and densifies only once the sparse wire form would
     exceed the dense array AND the dense array is allocatable.  A
     partition's memory and wire cost is O(distinct positions seen), not
-    O(m): the property that lets extended-m (m > 2^31) counting builds
-    run at all, and the same reason the reference's Redis counting tier
+    O(m): what keeps the PARTIALS and their tree merge m-free at
+    extended m (m > 2^31) — note ``build_counting`` still materializes
+    an m-sized driver array at the very end and guards that allocation
+    with ``max_driver_bytes``; only the fully distributed tiers
+    (fast_counting_positions, sharded counting) avoid O(m) driver
+    memory outright.  Same reason the reference's Redis counting tier
     pipelines sparse position->count maps instead of shipping the
     counter array (redis/CountingBloomFilterRedis.java:55-108).
 
@@ -751,11 +755,33 @@ def build_counting(
     num_partitions: Optional[int] = None,
     tree_merge_threshold: Optional[int] = None,
     tree_merge_groups: int = DEFAULT_TREE_MERGE_GROUPS,
+    max_driver_bytes: int = 4 << 30,
 ) -> CountingBloomFilter:
     """Distributed counting-filter build: per-partition uint counters,
     merged by element-wise saturating add (associative & commutative up
     to saturation — the extension that makes the counting filter
-    distributable; see counting.py module docstring)."""
+    distributable; see counting.py module docstring).
+
+    The partials and their tree merge stay m-free (sparse wire kinds),
+    but the RETURN TYPE is a driver-held ``CountingBloomFilter`` whose
+    counter array is m x dtype bytes.  Rather than dying by OOM deep in
+    numpy at huge extended m (2^33 slots x 16-bit = 16 GiB), the build
+    refuses up front when that allocation would exceed
+    ``max_driver_bytes`` (default 4 GiB) and points at the tiers that
+    never materialize a driver array."""
+    counters_bytes = config.m * counter_dtype(config.counting_bits).itemsize
+    if counters_bytes > max_driver_bytes:
+        raise ValueError(
+            f"build_counting would allocate a {counters_bytes / 2**30:.1f} "
+            f"GiB driver-side counter array (m={config.m}, "
+            f"{config.counting_bits}-bit counters), over the "
+            f"max_driver_bytes limit of {max_driver_bytes / 2**30:.1f} GiB. "
+            "At this scale keep the counters distributed: "
+            "fast_counting_positions + with_fast_estimated_count("
+            "strategy='exploded'), or the sharded counting tier "
+            "(build_sharded_counting). Pass max_driver_bytes to raise the "
+            "limit if the driver really has the memory."
+        )
     if num_partitions is not None:
         df = df.repartition(num_partitions)
     partials = build_counting_partials(df, col, config)

@@ -87,6 +87,20 @@ def _fast_key(col: str) -> Column:
     return F.coalesce(F.col(col).cast("string"), F.lit(""))
 
 
+def _reserve_probe_cols(df: DataFrame, out_col: str) -> None:
+    """Probe paths stage fixed-name ``__f*`` temp columns on ``df`` and
+    append ``out_col``; a caller column with one of those names would be
+    silently clobbered (kjoin withColumn) or duplicated (exploded
+    select) — refuse loudly instead of diverging per strategy."""
+    clash = [c for c in df.columns if c == out_col or c.startswith("__f")]
+    if clash:
+        raise ValueError(
+            f"column(s) {clash} collide with the fast probe's reserved "
+            f"names (out_col {out_col!r} and the '__f*' temp prefix); "
+            "rename or drop them before probing"
+        )
+
+
 def fast_hash_cols(col: str, config: FilterConfig):
     """(a, b) = (pmod(h1, m), pmod(h2|1, m)) as native long Columns."""
     key = _fast_key(col)
@@ -322,6 +336,7 @@ def with_fast_estimated_count(
     min re-aggregation — the extended-m / low-fill shape, mirroring the
     membership probe's strategy trade (see with_fast_membership)."""
     _require_fast(config)
+    _reserve_probe_cols(df, out_col)
     if strategy not in ("kjoin", "exploded"):
         raise ValueError(f"unknown probe strategy {strategy!r}")
     if strategy == "exploded":
@@ -560,6 +575,7 @@ def with_fast_membership(
     distributed (word, bits) table from :func:`fast_bloom_words`, or a
     pre-blocked (block, words) table (kjoin only)."""
     _require_fast(config)
+    _reserve_probe_cols(df, out_col)
     if strategy not in ("kjoin", "exploded"):
         raise ValueError(f"unknown probe strategy {strategy!r}")
     if strategy == "exploded":

@@ -418,3 +418,20 @@ def test_counting_build_extended_m(spark):
     # NOTE: driver-side CBF.merge at extended m is dense O(m) arithmetic
     # (gigabytes of temporaries) — deliberately not exercised here; the
     # distributed merge paths stay sparse and are covered above.
+
+
+def test_build_counting_refuses_oversized_driver_alloc(spark):
+    """ADVICE r4: at huge extended m the final driver-side counter array
+    (m x dtype) would OOM mid-numpy; build_counting must refuse up front
+    with a pointer at the distributed tiers instead."""
+    import pytest
+
+    from bloomspark import FilterConfig, build_counting
+
+    cfg = FilterConfig.complete(
+        m=2**33, k=3, counting_bits=16, extended=True,
+        hash_method="Murmur3KirschMitzenmacher",
+    )
+    keys = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="max_driver_bytes"):
+        build_counting(keys, "k", cfg)

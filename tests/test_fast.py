@@ -361,3 +361,39 @@ def test_fast_counting_removals_matches_parity_subtract(spark):
     got = np.zeros(cfg.m, dtype=np.int64)
     got[pos_tbl["pos"].to_numpy()] = pos_tbl["cnt"].to_numpy()
     assert (got == parity.counters.astype(np.int64)).all()
+
+
+def test_probe_rejects_reserved_column_collisions(spark, orders):
+    """ADVICE r4: a probe df already carrying the out_col or a '__f*'
+    column must raise (both strategies, membership and counting) —
+    silent clobber/duplicate behavior diverged per strategy before."""
+    from bloomspark.fast import (
+        build_fast_bloom,
+        build_fast_counting,
+        with_fast_estimated_count,
+        with_fast_membership,
+    )
+
+    cfg = FilterConfig.complete(n=1000, p=0.01, hash_method="XXHash64KM")
+    bf = build_fast_bloom(orders, "o_orderkey", cfg)
+    ccfg = FilterConfig.complete(
+        n=1000, p=0.01, counting_bits=16, hash_method="XXHash64KM"
+    )
+    cbf = build_fast_counting(orders, "o_orderkey", ccfg)
+
+    has_out = orders.withColumn("member", F.lit(True))
+    with pytest.raises(ValueError, match="reserved"):
+        with_fast_membership(has_out, "o_orderkey", bf, cfg)
+    has_tmp = orders.withColumn("__fkv", F.lit("x"))
+    for strategy in ("kjoin", "exploded"):
+        with pytest.raises(ValueError, match="reserved"):
+            with_fast_membership(
+                has_tmp, "o_orderkey", bf, cfg, strategy=strategy
+            )
+    with pytest.raises(ValueError, match="reserved"):
+        with_fast_estimated_count(
+            orders.withColumn("est_count", F.lit(0)), "o_orderkey", cbf, ccfg
+        )
+    # a clean df still probes fine with a custom out_col
+    ok = with_fast_membership(orders, "o_orderkey", bf, cfg, out_col="m2")
+    assert "m2" in ok.columns
