@@ -38,6 +38,37 @@ from bloomspark import (
 EXACT_P = 1e-9
 
 
+def _next_prime(x: int) -> int:
+    """Smallest prime >= x (deterministic Miller-Rabin, exact for
+    64-bit inputs) — used to pick cycle-free Kirsch-Mitzenmacher m."""
+
+    def is_prime(n: int) -> bool:
+        if n < 2:
+            return False
+        for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+            if n % p == 0:
+                return n == p
+        d, s = n - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            s += 1
+        for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+            v = pow(a, d, n)
+            if v in (1, n - 1):
+                continue
+            for _ in range(s - 1):
+                v = v * v % n
+                if v == n - 1:
+                    break
+            else:
+                return False
+        return True
+
+    while not is_prime(x):
+        x += 1
+    return x
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -715,6 +746,39 @@ def q_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "member")
 
 
+def q_sharded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The never-collected COUNTING tier (sharded.py, round-5 item 6):
+    lineitem partkey multiplicities in 16 independent counter arrays
+    (the shape for frequency estimates past broadcast scale), probed by
+    co-partitioning part keys on the shard id — counter arrays cross
+    the wire once per job, never per probe row.  At p=1e-9 the
+    minimum-selection estimate equals the exact GROUP BY count."""
+    from bloomspark.sharded import (
+        build_sharded_counting,
+        with_sharded_estimated_count,
+    )
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    n, num_shards = lineitem.count(), 16
+    sized = FilterConfig.complete(n=max(n // num_shards, 100), p=EXACT_P)
+    # prime m: Kirsch-Mitzenmacher positions (a + i*b) mod m cycle with
+    # period m/gcd(b, m); composite m lets some keys' b share a factor
+    # with m, and min-selection then reads cycle-multiplicity x the true
+    # count (Java-parity semantics — the reference behaves identically).
+    # A prime m confines that to b % m == 0, probability ~1/m per key.
+    cfg = FilterConfig.complete(
+        m=_next_prime(sized.m), k=sized.k, counting_bits=32
+    )
+    shards = build_sharded_counting(
+        lineitem, "l_partkey", cfg, num_shards=num_shards
+    )
+    return with_sharded_estimated_count(
+        part.select("p_partkey"), "p_partkey", shards, cfg,
+        num_shards=num_shards,
+    ).select("p_partkey", "est_count")
+
+
 def q_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tenant frequency probe: one counting filter per event_type
     (salted two-phase build), each (user, type) grid row's count
@@ -827,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_membership": q_grouped_membership,
         "grouped_counts": q_grouped_counts,
         "sharded_membership": q_sharded_membership,
+        "sharded_counts": q_sharded_counts,
         "fast_membership": q_fast_membership,
         "fast_extended_membership": q_fast_extended_membership,
         "fast_counts": q_fast_counts,
@@ -1164,6 +1229,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    o_orderkey IN (SELECT l_orderkey FROM lineitem) AS member
             FROM orders
+        """,
+        "sharded_counts": """
+            SELECT p.p_partkey,
+                   COALESCE(l.cnt, 0) AS est_count
+            FROM part p
+            LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey) l
+              ON p.p_partkey = l.l_partkey
         """,
         "fast_counts": """
             SELECT p.p_partkey,

