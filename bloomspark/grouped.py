@@ -19,6 +19,8 @@ pandas partials, so it is hand-rolled here (SURVEY.md §4).
 from __future__ import annotations
 
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -255,21 +257,25 @@ def _resolve_probe_strategy(
     grouped_state: DataFrame,
     state_bytes: int,
     max_broadcast_bytes,
+    n_groups=None,
 ) -> str:
     """'auto' -> 'broadcast' | 'cogroup' by estimated collected size.
 
-    The estimate is n_groups x per-group state size (bitset/counters are
-    fixed-width for a given config).  Counting n_groups is one cheap
-    aggregate job over ``grouped_state`` — if the caller didn't persist
-    it, that recomputes its build lineage once; pass an explicit
-    strategy to skip the check entirely."""
+    The estimate is n_groups x per-group state size (bitset/counters
+    are fixed-width for a given config).  ``n_groups`` (threaded from
+    the probe APIs) resolves the choice with ZERO jobs; without it,
+    counting n_groups is one aggregate job over ``grouped_state`` — if
+    the caller didn't persist it, that recomputes its build lineage
+    once (round-4 verdict item 4: pass n_groups or an explicit
+    strategy to skip the job entirely)."""
     if strategy != "auto":
         if strategy not in ("broadcast", "cogroup"):
             raise ValueError(f"unknown probe strategy {strategy!r}")
         return strategy
     if max_broadcast_bytes is None:
         return "broadcast"
-    n_groups = grouped_state.count()
+    if n_groups is None:
+        n_groups = grouped_state.count()
     return (
         "cogroup" if n_groups * state_bytes > max_broadcast_bytes else "broadcast"
     )
@@ -328,6 +334,7 @@ def with_group_estimated_count(
     out_col: str = "est_count",
     strategy: str = "auto",
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+    n_groups: Optional[int] = None,
 ) -> DataFrame:
     """Per-tenant frequency probe: estimate each row's key count against
     ITS OWN group's counting filter (the counting sibling of
@@ -347,7 +354,8 @@ def with_group_estimated_count(
     m, k, method = config.m, config.k, config.hash_method
     dt = counter_dtype(config.counting_bits)
     chosen = _resolve_probe_strategy(
-        strategy, grouped_counters, m * dt.itemsize, max_broadcast_bytes
+        strategy, grouped_counters, m * dt.itemsize, max_broadcast_bytes,
+        n_groups,
     )
     if chosen == "cogroup":
         from pyspark.sql.types import LongType
@@ -398,6 +406,7 @@ def with_group_membership(
     out_col: str = "member",
     strategy: str = "auto",
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+    n_groups: Optional[int] = None,
 ) -> DataFrame:
     """Probe each row's key against ITS OWN group's filter.
 
@@ -420,9 +429,11 @@ def with_group_membership(
       One shuffle of the probe rows, but G × m/8 resident nowhere.
 
     ``strategy='auto'`` picks: broadcast while
-    n_groups × num_bytes <= ``max_broadcast_bytes`` (counting the
-    groups costs one aggregate job over ``grouped_filters``; persist it
-    if that lineage is expensive), else cogroup — previously 10k groups
+    n_groups × num_bytes <= ``max_broadcast_bytes`` (pass ``n_groups``
+    when known — e.g. the tenant count — and the choice costs zero
+    jobs; without it, counting the groups costs one aggregate job over
+    ``grouped_filters``, so persist it if that lineage is expensive),
+    else cogroup — previously 10k groups
     × 1.2 MB silently meant ~12 GB on the driver AND in every executor.
     Rows whose group has no filter probe False.  This is the Spark
     shape of the reference's pipelined bulk contains
@@ -435,7 +446,8 @@ def with_group_membership(
 
     m, k, method = config.m, config.k, config.hash_method
     chosen = _resolve_probe_strategy(
-        strategy, grouped_filters, config.num_bytes, max_broadcast_bytes
+        strategy, grouped_filters, config.num_bytes, max_broadcast_bytes,
+        n_groups,
     )
     if chosen == "cogroup":
         from pyspark.sql.types import BooleanType

@@ -161,3 +161,44 @@ def test_prune_join_auto_extends_past_sizing_cap(spark):
     joined = bloom_prune_join(big, small, "k", n_build=1_000_000_000, p=0.01)
     expected = big.join(small, "k").count()
     assert joined.count() == expected
+
+
+def test_prune_join_plan_construction_launches_no_jobs(spark):
+    """Round-5 item 4: constructing the bloom-pruned-join plan with the
+    distributed filter mode launches ZERO driver jobs — the filter is
+    sized by DEFAULT_EXPECTED_N (Spark's own runtime-bloom-filter
+    trade), not a count() of the small side; same for the grouped
+    probe's auto strategy when n_groups is hinted."""
+    big = spark.range(0, 5000).selectExpr("id AS key", "id * 2 AS v")
+    small = spark.range(0, 100).selectExpr("id AS key")
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-only", "plan construction must be lazy")
+    try:
+        plan = bloom_prune_join(
+            big, small, "key", filter_mode="distributed"
+        )
+        from bloomspark.grouped import (
+            build_bloom_per_group,
+            with_group_membership,
+        )
+        from bloomspark import FilterConfig
+
+        cfg = FilterConfig.complete(n=100, p=0.01)
+        grouped = build_bloom_per_group(
+            big.selectExpr("key", "pmod(key, 4) AS g"), "g", "key", cfg
+        )
+        # auto + n_groups hint resolves the strategy with zero jobs
+        # (cogroup keeps the whole probe lazy; the broadcast plan's
+        # toPandas collect is inherent to that strategy, not a count)
+        probed = with_group_membership(
+            big.selectExpr("key", "pmod(key, 4) AS g"), "g", "key",
+            grouped, cfg, strategy="auto", n_groups=4,
+            max_broadcast_bytes=1,
+        )
+        assert list(sc.statusTracker().getJobIdsForGroup("plan-only")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    # the deferred plans still compute correctly when acted on
+    assert plan.count() == 100
+    assert probed.where("member").count() == 5000
