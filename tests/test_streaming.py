@@ -827,3 +827,34 @@ def test_expiring_lineage_bounded_by_auto_compaction(spark):
     compacted = ebf.compact()
     assert compacted.snapshot_filter(now_ms=5_000).counters.tobytes() == \
         snap_before.counters.tobytes()
+
+
+def test_streaming_dedup_replay_at_least_once_bound(spark, tmp_path):
+    """Round-5 item 8: pin the documented at-least-once contract
+    (streaming_dedup docstring).  A batch replayed after a crash in the
+    window BETWEEN the output append and the filter store re-emits that
+    batch's rows exactly once more — never loses them; a replay after
+    the store completes is fully suppressed (idempotent OR)."""
+    from bloomspark.streaming import _make_dedup_batch_processor
+
+    cfg = FilterConfig.complete(n=1000, p=1e-9, hash_method="XXHash64KM")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    pb = _make_dedup_batch_processor("key", cfg, ck, out)
+    keys = [f"k{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def emitted():
+        return sorted(r["key"] for r in spark.read.parquet(out).collect())
+
+    pb(df, 0)
+    assert emitted() == sorted(keys)
+    # crash window: output already appended, filter store lost
+    os.remove(os.path.join(ck, "bitset.bin"))
+    pb(df, 0)  # Structured Streaming replays the failed batch
+    assert emitted() == sorted(keys * 2), "replay must re-emit exactly once"
+    # replay after a completed store: no third copy (no loss either)
+    pb(df, 0)
+    assert emitted() == sorted(keys * 2)
+    # state converged: only genuinely new keys pass afterwards
+    pb(spark.createDataFrame([("new1",), ("k3",)], "key string"), 1)
+    assert emitted() == sorted(keys * 2 + ["new1"])
