@@ -268,6 +268,44 @@ def bench_queries(spark, sf_dir: str):
     )
     shard_holder["shards"].unpersist()
 
+    # sharded COUNTING tier (round-5): same never-collected cogroup
+    # shape with counter arrays.  x-prefixed = excluded from the
+    # headline total so round-over-round totals stay comparable.
+    from bloomspark.sharded import (
+        build_sharded_counting,
+        with_sharded_estimated_count,
+    )
+
+    sccfg = FilterConfig.complete(
+        n=max(n_li // num_shards, 100), p=0.01, counting_bits=16
+    )
+    scount_holder = {}
+
+    def _sharded_counting_build():
+        sh = build_sharded_counting(
+            lineitem.repartition(nparts), "l_orderkey", sccfg,
+            num_shards=num_shards,
+        ).persist()
+        sh.count()
+        scount_holder["shards"] = sh
+
+    timed("x17_sharded_counting_build", _sharded_counting_build, n_li)
+    timed(
+        "x18_sharded_count_probe",
+        lambda: with_sharded_estimated_count(
+            orders.select("o_orderkey"),
+            "o_orderkey",
+            scount_holder["shards"],
+            sccfg,
+            num_shards=num_shards,
+        )
+        .agg(F.sum("est_count"))
+        .collect(),
+        n_ord,
+        clear=False,
+    )
+    scount_holder["shards"].unpersist()
+
     # IVF ANN (simsearch.py): bounded-sample centroid training is done
     # once outside the timer (the production amortization); the timed
     # probe is assignment + n_probe cell pruning + in-cell brute force
@@ -593,7 +631,10 @@ def main():
     spark.stop()
 
     queries = {name: round(sec, 4) for name, (sec, _) in results.items()}
-    total = sum(queries.values())
+    # x-prefixed queries are additive tier coverage (round-5+): reported
+    # per-query but excluded from the headline total, which stays the
+    # same 16-query sum every prior round's BENCH_r*.json recorded
+    total = sum(v for k, v in queries.items() if not k.startswith("x"))
     build_sec, build_rows = results["q1_bloom_build"]
     payload = {
         "metric": "bloom build+probe+count suite wall time",

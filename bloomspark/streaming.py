@@ -716,6 +716,10 @@ def _make_sharded_dedup_batch_processor(
         if cur is not None:
             cur_df = _load_gen(spark, cur)
             if cur_df is not None:
+                # the touched-shard rows feed BOTH the semi-join and the
+                # merge union — pin them (<= S tiny rows) so the build
+                # shuffle runs once per batch, not twice
+                built = built.localCheckpoint(eager=True)
                 # merge ONLY the shards this batch touched: untouched
                 # shards keep their existing version files, unread and
                 # unwritten (the incremental-write property)
