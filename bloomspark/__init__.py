@@ -50,7 +50,9 @@ from .sketches import (
     build_sketch_checkpointed,
 )
 from .sharded import (build_sharded_bloom, build_sharded_counting,
-                      load_sharded, merge_sharded_counting, save_sharded,
+                      load_sharded, load_sharded_counting,
+                      merge_sharded_counting, save_sharded,
+                      save_sharded_counting, subtract_sharded_counting,
                       with_sharded_estimated_count, with_sharded_membership)
 from .fast import (
     blocks_from_bloom,
@@ -93,6 +95,9 @@ __all__ = [
     "build_sharded_counting",
     "with_sharded_estimated_count",
     "merge_sharded_counting",
+    "subtract_sharded_counting",
+    "save_sharded_counting",
+    "load_sharded_counting",
     "save_sharded",
     "load_sharded",
     "build_fast_bloom",

@@ -207,9 +207,8 @@ def merge_sharded_counting(
     """Saturating-add merge of two sharded counting filters built under
     the SAME (shard_config, num_shards) — the counting twin of
     :func:`merge_sharded` (union + one groupBy(shard); counter arrays
-    ride the shuffle once each, the driver never sees one).  Pass
-    ``weight=-1``-built removal sketches through this to subtract at
-    shard scale: clamping at 0 happens inside the saturating add."""
+    ride the shuffle once each, the driver never sees one).  For
+    distributed remove use :func:`subtract_sharded_counting`."""
     from .counting import add_saturating, counter_dtype, counter_max
 
     dt = counter_dtype(shard_config.counting_bits)
@@ -239,6 +238,68 @@ def merge_sharded_counting(
     return both.groupBy("shard").applyInPandas(
         merge, schema=COUNTING_SHARDS_SCHEMA
     )
+
+
+def subtract_sharded_counting(
+    adds: DataFrame, removes: DataFrame, shard_config: FilterConfig
+) -> DataFrame:
+    """Distributed remove at shard scale: per-shard element-wise
+    subtract floored at 0 (``CountingBloomFilter.subtract`` semantics,
+    the Spark replacement for the reference's Redis WATCH/MULTI retry
+    loop, redis/CountingBloomFilterRedis.java:114-156) — build the
+    removals as their own sharded sketch and subtract it; associativity
+    of the underlying add makes batch order irrelevant.  Same plan as
+    :func:`merge_sharded_counting`: one cogroup on the shard id, a
+    counter array crosses the wire once per job.  Shards present only
+    in ``removes`` vanish (nothing to subtract from); shards present
+    only in ``adds`` pass through untouched."""
+    from .counting import counter_dtype
+
+    dt = counter_dtype(shard_config.counting_bits)
+    add_side = adds.select("shard", "rows", "nonzero", "counters")
+    rem_side = removes.select(F.col("shard").alias("shard"), "counters")
+
+    def sub(apdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(apdf):
+            return pd.DataFrame(
+                {"shard": [], "rows": [], "nonzero": [], "counters": []}
+            ).astype({"shard": "int64", "rows": "int64", "nonzero": "int64"})
+        acc = np.frombuffer(bytes(apdf["counters"].iloc[0]), dtype=dt).copy()
+        if len(rpdf):
+            rem = np.frombuffer(bytes(rpdf["counters"].iloc[0]), dtype=dt)
+            np.subtract(acc, np.minimum(acc, rem), out=acc)
+        return pd.DataFrame(
+            {
+                "shard": [int(apdf["shard"].iloc[0])],
+                "rows": [int(apdf["rows"].iloc[0])],
+                "nonzero": [int(np.count_nonzero(acc))],
+                "counters": [acc.tobytes()],
+            }
+        )
+
+    return (
+        add_side.groupBy("shard")
+        .cogroup(rem_side.groupBy("shard"))
+        .applyInPandas(sub, schema=COUNTING_SHARDS_SCHEMA)
+    )
+
+
+def estimated_population_sharded_counting(
+    shards: DataFrame, shard_config: FilterConfig
+) -> int:
+    """Population estimate of a sharded counting filter: the
+    swamidass-baldi estimate from each shard's NONZERO slot count
+    (a counting filter's bit-level analog of `ones`), summed over
+    shards — only S (shard, nonzero) rows reach the driver."""
+    import math
+
+    m, k = shard_config.m, shard_config.k
+    rows = shards.select("shard", "nonzero").collect()
+    total = 0.0
+    for r in rows:
+        nz = min(int(r["nonzero"]), m - 1)
+        total += -(m / k) * math.log(1.0 - nz / m)
+    return int(round(total))
 
 
 def _hadoop_fs_and_path(spark, path: str, child: str):
@@ -327,13 +388,42 @@ def save_sharded(
     Same durability role as the reference's named Redis filters
     (``FilterBuilder.name``/``overwriteIfExists``), at the scale where
     checkpoint.py's single-bitset layout stops fitting."""
+    _save_sharded_impl(shards, path, shard_config, num_shards, "bloom")
+
+
+def save_sharded_counting(
+    shards: DataFrame,
+    path: str,
+    shard_config: FilterConfig,
+    *,
+    num_shards: int,
+) -> None:
+    """Durable persistence of the sharded COUNTING tier — identical
+    layout and FS semantics to :func:`save_sharded`, with the counter
+    arrays in the parquet and ``kind: counting`` in config.json so a
+    membership loader cannot silently misread counter bytes as a
+    bitset."""
+    _save_sharded_impl(shards, path, shard_config, num_shards, "counting")
+
+
+def _save_sharded_impl(
+    shards: DataFrame,
+    path: str,
+    shard_config: FilterConfig,
+    num_shards: int,
+    kind: str,
+) -> None:
     import json
     import os
 
     spark = shards.sparkSession
     shards.write.mode("overwrite").parquet(os.path.join(path, "shards"))
     payload = json.dumps(
-        {"config": shard_config.to_dict(), "num_shards": int(num_shards)}
+        {
+            "config": shard_config.to_dict(),
+            "num_shards": int(num_shards),
+            "kind": kind,
+        }
     ).encode()
     fs, cfg_path = _hadoop_fs_and_path(spark, path, "config.json")
     tmp_path = spark._jvm.org.apache.hadoop.fs.Path(path, "config.json.tmp")
@@ -359,6 +449,17 @@ def load_sharded(spark, path: str):
     """-> (shards DataFrame, shard_config, num_shards), ready for
     :func:`with_sharded_membership`.  The bitsets load lazily from
     parquet into executors; nothing touches the driver."""
+    return _load_sharded_impl(spark, path, "bloom")
+
+
+def load_sharded_counting(spark, path: str):
+    """-> (shards DataFrame, shard_config, num_shards), ready for
+    :func:`with_sharded_estimated_count`.  Refuses a path saved by
+    :func:`save_sharded` (membership bitsets are not counter arrays)."""
+    return _load_sharded_impl(spark, path, "counting")
+
+
+def _load_sharded_impl(spark, path: str, kind: str):
     import json
     import os
 
@@ -371,5 +472,12 @@ def load_sharded(spark, path: str):
     finally:
         stream.close()
     meta = json.loads(raw.decode())
+    # pre-round-5 layouts wrote no kind field and were always bloom
+    saved_kind = meta.get("kind", "bloom")
+    if saved_kind != kind:
+        raise ValueError(
+            f"{path} holds a sharded {saved_kind!r} filter, not "
+            f"{kind!r}; use the matching load function"
+        )
     shards = spark.read.parquet(os.path.join(path, "shards"))
     return shards, FilterConfig.from_dict(meta["config"]), meta["num_shards"]

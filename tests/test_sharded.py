@@ -301,3 +301,120 @@ def test_merge_sharded_counting_associative_and_subtract(spark):
         assert got[key] >= want_true
     for df in (a, b, c):
         df.unpersist()
+
+
+def test_subtract_sharded_counting_matches_driver(spark):
+    """Distributed remove at shard scale: per-shard result is byte-
+    identical to driver CBF.subtract of the same routed keys; estimates
+    after removal match driver semantics; remove-only shards vanish and
+    add-only shards pass through."""
+    from bloomspark.counting import CountingBloomFilter
+    from bloomspark.sharded import (
+        build_sharded_counting,
+        shard_column,
+        subtract_sharded_counting,
+        with_sharded_estimated_count,
+    )
+
+    cfg = FilterConfig.complete(n=300, p=1e-9, counting_bits=16)
+    S = 8
+
+    def kdf(ks):
+        return spark.createDataFrame([(k,) for k in ks], "k string")
+
+    add_keys = [f"k{i}" for i in range(500)] + [f"k{i}" for i in range(100)]
+    rem_keys = [f"k{i}" for i in range(50)] + ["absent1", "absent2"]
+    adds = build_sharded_counting(kdf(add_keys), "k", cfg, num_shards=S)
+    rems = build_sharded_counting(kdf(rem_keys), "k", cfg, num_shards=S)
+    result = subtract_sharded_counting(adds, rems, cfg).persist()
+
+    def route(ks):
+        out = {}
+        for r in kdf(ks).withColumn("__s", shard_column("k", S)).collect():
+            out.setdefault(int(r["__s"]), []).append(r["k"])
+        return out
+
+    adds_by, rems_by = route(add_keys), route(rem_keys)
+    for row in result.collect():
+        s = int(row["shard"])
+        a = CountingBloomFilter(cfg)
+        a.add_batch(adds_by.get(s, []))
+        r = CountingBloomFilter(cfg)
+        r.add_batch(rems_by.get(s, []))
+        want = a.subtract(r)
+        assert bytes(row["counters"]) == want.counters.tobytes(), f"shard {s}"
+    # add-only shards pass through: result covers exactly the add shards
+    assert {int(r["shard"]) for r in result.collect()} == set(adds_by)
+    # probe semantics after removal (driver parity, incl. degenerate keys)
+    probes = kdf([f"k{i}" for i in range(120)])
+    got = {
+        r["k"]: r["est_count"]
+        for r in with_sharded_estimated_count(
+            probes, "k", result, cfg, num_shards=S
+        ).collect()
+    }
+    for i in range(120):
+        s = int(
+            kdf([f"k{i}"]).withColumn("__s", shard_column("k", S)).collect()[0]["__s"]
+        )
+        a = CountingBloomFilter(cfg)
+        a.add_batch(adds_by.get(s, []))
+        r = CountingBloomFilter(cfg)
+        r.add_batch(rems_by.get(s, []))
+        assert got[f"k{i}"] == int(a.subtract(r).get_estimated_count(f"k{i}"))
+    result.unpersist()
+
+
+def test_sharded_counting_save_load_roundtrip(spark, tmp_path):
+    """Durable counting tier: executors write counter arrays to
+    parquet, a fresh load probes identically, kind mismatch raises both
+    ways, and population estimate survives the round trip."""
+    import pytest
+
+    from bloomspark.sharded import (
+        build_sharded_bloom,
+        build_sharded_counting,
+        estimated_population_sharded_counting,
+        load_sharded,
+        load_sharded_counting,
+        save_sharded,
+        save_sharded_counting,
+        with_sharded_estimated_count,
+    )
+
+    cfg = FilterConfig.complete(n=300, p=1e-9, counting_bits=16)
+    S = 8
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(800) for _ in range((i % 3) + 1)],
+        "k string",
+    )
+    sh = build_sharded_counting(keys, "k", cfg, num_shards=S)
+    path = str(tmp_path / "scount")
+    save_sharded_counting(sh, path, cfg, num_shards=S)
+    sh2, cfg2, s2 = load_sharded_counting(spark, path)
+    assert cfg2 == cfg and s2 == S
+    a = {int(r["shard"]): bytes(r["counters"]) for r in sh.collect()}
+    b = {int(r["shard"]): bytes(r["counters"]) for r in sh2.collect()}
+    assert a == b
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(900)], "k string")
+    got = {
+        r["k"]: r["est_count"]
+        for r in with_sharded_estimated_count(
+            probes, "k", sh2, cfg2, num_shards=s2
+        ).collect()
+    }
+    assert all(got[f"k{i}"] >= (i % 3) + 1 for i in range(800))
+    assert all(got[f"k{i}"] == 0 for i in range(800, 900))
+    est = estimated_population_sharded_counting(sh2, cfg)
+    assert abs(est - 800) / 800 < 0.05
+    # kind mismatch refuses loudly, both directions
+    with pytest.raises(ValueError, match="counting"):
+        load_sharded(spark, path)
+    bpath = str(tmp_path / "sbloom")
+    bcfg = FilterConfig.complete(n=300, p=1e-9)
+    save_sharded(
+        build_sharded_bloom(keys, "k", bcfg, num_shards=S), bpath, bcfg,
+        num_shards=S,
+    )
+    with pytest.raises(ValueError, match="bloom"):
+        load_sharded_counting(spark, bpath)
