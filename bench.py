@@ -529,12 +529,17 @@ def scaling_worker(cores: int, mode: str = "python") -> None:
     chained-Murmur3 hashing); ``mode='native'`` is the fast tier
     (fast.py) — the same 20M-key membership build with ZERO Python
     workers, isolating whether the 2->8 ceiling is the Arrow hop
-    (native scales) or shared DRAM (native hits it too).
-    Prints one JSON line consumed by run_scaling."""
+    (native scales) or shared DRAM (native hits it too);
+    ``mode='sharded'`` is the never-collected tier (sharded.py) — the
+    same keys into 16 per-shard bitsets through the salted (shard,
+    salt) shuffle + cogroup merge, the DataFrame-resident shape a
+    100-TB filter actually runs, with nothing driver-resident to
+    serialize scaling.  Prints one JSON line consumed by run_scaling."""
     from pyspark.sql import SparkSession, functions as F
 
     from bloomspark import FilterConfig, build_bloom
     from bloomspark.fast import build_fast_bloom
+    from bloomspark.sharded import build_sharded_bloom
 
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -548,12 +553,25 @@ def scaling_worker(cores: int, mode: str = "python") -> None:
     spark.sparkContext.setLogLevel("ERROR")
     nparts = 64  # fixed across levels; >= 2 tasks/core at the big level
     method = "XXHash64KM" if mode == "native" else SCALING_METHOD
-    cfg = FilterConfig.complete(n=SCALING_ROWS, p=0.01, hash_method=method)
-    build_fn = (
-        (lambda df: build_fast_bloom(df, "sha", cfg))
-        if mode == "native"
-        else (lambda df: build_bloom(df, "sha", cfg, tree_merge_groups=8))
-    )
+    if mode == "sharded":
+        num_shards = 16
+        cfg = FilterConfig.complete(
+            n=SCALING_ROWS // num_shards, p=0.01, hash_method=method
+        )
+
+        def build_fn(df):
+            sh = build_sharded_bloom(df, "sha", cfg, num_shards=num_shards)
+            # materialize the whole distributed build under the timer;
+            # summed ones doubles as the cross-level identity check
+            return int(sh.agg(F.sum("ones")).collect()[0][0])
+
+    else:
+        cfg = FilterConfig.complete(n=SCALING_ROWS, p=0.01, hash_method=method)
+        build_fn = (
+            (lambda df: build_fast_bloom(df, "sha", cfg))
+            if mode == "native"
+            else (lambda df: build_bloom(df, "sha", cfg, tree_merge_groups=8))
+        )
     keys = spark.range(0, SCALING_ROWS, 1, nparts).select(
         F.sha2(F.col("id").cast("string"), 256).alias("sha")
     )
@@ -572,10 +590,11 @@ def scaling_worker(cores: int, mode: str = "python") -> None:
         bf = build_fn(keys)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+    ones = bf if isinstance(bf, int) else bf.cardinality()
     print(
         json.dumps(
             {"cores": cores, "sec": best, "rows_per_sec": SCALING_ROWS / best,
-             "ones": bf.cardinality()}
+             "ones": ones}
         )
     )
     spark.stop()
@@ -680,6 +699,11 @@ def main():
         # not the Arrow hop (round-2 verdict item 7)
         payload["scaling_fast"] = run_scaling(1, 4, mode="native")
         payload["scaling_fast_2_8"] = run_scaling(2, 8, mode="native")
+        # the never-collected tier's legs: the same build THROUGH the
+        # salted (shard, salt) shuffle + per-shard merge — the shape a
+        # 100-TB filter actually runs (round-5)
+        payload["scaling_sharded"] = run_scaling(1, 4, mode="sharded")
+        payload["scaling_sharded_2_8"] = run_scaling(2, 8, mode="sharded")
 
     print(json.dumps(payload))
 

@@ -418,3 +418,35 @@ def test_sharded_counting_save_load_roundtrip(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bloom"):
         load_sharded_counting(spark, bpath)
+
+
+def test_subtract_sharded_counting_remove_only_shards_vanish(spark):
+    """Shards present only in the removals sketch produce no output row
+    (nothing to subtract from) — the empty-add cogroup branch."""
+    from bloomspark.sharded import (
+        build_sharded_counting,
+        shard_column,
+        subtract_sharded_counting,
+    )
+
+    cfg = FilterConfig.complete(n=100, p=0.01, counting_bits=16)
+    S = 32  # enough shards that some receive only removal keys
+
+    def kdf(ks):
+        return spark.createDataFrame([(k,) for k in ks], "k string")
+
+    add_keys = [f"a{i}" for i in range(40)]
+    rem_keys = [f"r{i}" for i in range(200)]
+    adds = build_sharded_counting(kdf(add_keys), "k", cfg, num_shards=S)
+    rems = build_sharded_counting(kdf(rem_keys), "k", cfg, num_shards=S)
+    add_shards = {
+        int(r["__s"])
+        for r in kdf(add_keys).withColumn("__s", shard_column("k", S)).collect()
+    }
+    rem_shards = {
+        int(r["__s"])
+        for r in kdf(rem_keys).withColumn("__s", shard_column("k", S)).collect()
+    }
+    assert rem_shards - add_shards, "test needs remove-only shards"
+    out = subtract_sharded_counting(adds, rems, cfg)
+    assert {int(r["shard"]) for r in out.collect()} == add_shards
