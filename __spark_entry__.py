@@ -461,6 +461,23 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (pipeline/dedup.py round-5): the
+    exact-verified MinHash+LSH pair set collapsed to connected
+    components by min-label propagation — (doc_id, cluster_id =
+    component minimum).  Oracle: the same exact pair set in SQL plus a
+    recursive-CTE reachability closure; both sides are exact, so the
+    match is strict."""
+    from bloomspark.pipeline import duplicate_clusters, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.8)
+    return duplicate_clusters(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 #: Fixed corpus for the simhash driver oracle.  The expected pairs below
 #: were verified against an independent all-pairs exact-hamming oracle
 #: (the banded pigeonhole pipeline found exactly the same set — the same
@@ -878,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_dups": q_simhash_dups,
         "cosine_dups": q_cosine_dups,
         "text_stats": q_text_stats,
@@ -1168,6 +1186,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = c.id_a
             JOIN sz sb ON sb.doc_id = c.id_b
             WHERE nc / (sa.n + sb.n - nc) >= 0.8
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            sh0 AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, length(toks) - 2)) AS i
+                FROM t WHERE length(toks) >= 3
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                FROM sh0
+                UNION
+                SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS shingle
+                FROM t WHERE length(toks) < 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            c AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT c.id_a, c.id_b
+                FROM c
+                JOIN sz sa ON sa.doc_id = c.id_a
+                JOIN sz sb ON sb.doc_id = c.id_b
+                WHERE nc / (sa.n + sb.n - nc) >= 0.8
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+            )
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
         """,
         "cosine_dups": """
             WITH e AS (

@@ -9,6 +9,8 @@ fingerprinting), and multimodal binary-column plumbing.
 """
 
 from .dedup import (
+    dedup_keep_representatives,
+    duplicate_clusters,
     exact_dedup,
     ngram_jaccard_pairs,
     minhash_signatures,
@@ -29,6 +31,8 @@ from .text import (
 
 __all__ = [
     "exact_dedup",
+    "duplicate_clusters",
+    "dedup_keep_representatives",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -374,6 +374,100 @@ def unpersist_intermediates(result: DataFrame) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over the pair set)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into CLUSTERS -> (id, cluster_id),
+    where cluster_id is the minimum member id of each connected
+    component.  This is the step a training-data pipeline runs after
+    pair generation: "doc A ~ B, B ~ C" must collapse to ONE kept
+    document, which needs components, not pairs.
+
+    Algorithm: min-label propagation (the Pregel formulation GraphX's
+    connectedComponents uses) — every node starts labeled with its own
+    id; each round every node takes the min of its and its neighbors'
+    labels (one join + one groupBy over the symmetrized edge set);
+    converged when a round changes nothing.  Rounds needed = graph
+    diameter; LSH/banded dup clusters are near-cliques (diameter 2-3),
+    so this terminates in a handful of rounds even at 10^12 docs —
+    where an all-pairs or driver-side union-find cannot exist.  Each
+    round localCheckpoints the label table: lineage stays one round
+    deep instead of compounding joins, and the convergence check rides
+    the same materialization.  Raises if ``max_iterations`` rounds did
+    not converge (a pair graph with a 25-hop path is not a dup cluster
+    — that means the threshold upstream is far too loose).
+
+    Only nodes that appear in ``pairs`` are returned; singletons are
+    the caller's complement (see :func:`dedup_keep_representatives`).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        nbr = edges.join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("label").alias("nlabel")
+            ),
+            "dst",
+        ).select(F.col("src").alias("id"), F.col("nlabel").alias("label"))
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("old")), "id"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iterations} rounds: "
+        "the pair graph has very long paths — tighten the upstream "
+        "similarity threshold or raise max_iterations"
+    )
+
+
+def dedup_keep_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The kept corpus after cluster resolution: every document outside
+    any cluster, plus each cluster's representative (its minimum id ==
+    the cluster_id itself).  One left join; no shuffle of doc payloads
+    beyond it."""
+    drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

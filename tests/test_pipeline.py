@@ -502,3 +502,86 @@ def test_ivf_training_sample_unbiased_on_clustered_input(spark):
     prefix = emb.limit(200).toPandas()["embedding"]
     X = np.vstack(prefix.to_numpy())
     assert (np.argmax(X @ centers.T, axis=1) == 0).all()
+
+
+def test_duplicate_clusters_match_union_find(spark):
+    """Min-label propagation equals a driver union-find on random pair
+    graphs (chains, cliques, singleton-free pair sets) with cluster_id
+    = component minimum; representatives keep exactly one doc per
+    cluster plus all unpaired docs."""
+    import random
+
+    from bloomspark.pipeline import (
+        dedup_keep_representatives,
+        duplicate_clusters,
+    )
+
+    rng = random.Random(11)
+    # 3 shapes: a 40-clique area, long chains (worst diameter), random
+    edges = set()
+    for a in range(0, 40):
+        edges.add((a, rng.randrange(0, 40)))
+    for a in range(100, 120):          # chain 100-120
+        edges.add((a, a + 1))
+    for _ in range(60):
+        a, b = rng.randrange(200, 400), rng.randrange(200, 400)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted((a, b) for a, b in edges if a != b)
+
+    # driver truth: union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    want = {}
+    for members in comp.values():
+        lo = min(members)
+        for m in members:
+            want[m] = lo
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        int(r["id"]): int(r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == want
+
+    # representatives: one per cluster + all unpaired docs
+    docs = spark.range(0, 450).select(F.col("id").alias("doc_id"))
+    kept = {
+        int(r["doc_id"])
+        for r in dedup_keep_representatives(
+            docs, duplicate_clusters(pairs)
+        ).collect()
+    }
+    clustered = set(want)
+    reps = {min(m) for m in comp.values()}
+    assert kept == (set(range(450)) - clustered) | reps
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """A path graph longer than max_iterations raises with a pointer at
+    the upstream threshold rather than silently returning partial
+    components."""
+    from bloomspark.pipeline import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iterations=3)
+    # ...and the same graph converges with enough rounds
+    got = duplicate_clusters(pairs, max_iterations=15).collect()
+    assert all(int(r["cluster_id"]) == 0 for r in got)
