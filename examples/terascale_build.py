@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--num-buckets", type=int, default=16)
     ap.add_argument("--sharded", action="store_true",
                     help="also build + save the never-collected sharded form")
+    ap.add_argument("--counting", action="store_true",
+                    help="also build + save the sharded COUNTING form "
+                         "(frequency estimates past broadcast scale)")
+    ap.add_argument("--counting-bits", type=int, default=16)
     ap.add_argument("--num-shards", type=int, default=16)
     ap.add_argument("--fpp-probes", type=int, default=50_000)
     args = ap.parse_args()
@@ -116,6 +120,33 @@ def main() -> None:
             "num_shards": args.num_shards,
             "estimated_population": estimated_population_sharded(
                 spark.read.parquet(args.checkpoint + "/sharded/shards"), shcfg
+            ),
+        }
+
+    if args.counting:
+        from bloomspark.sharded import (
+            build_sharded_counting,
+            estimated_population_sharded_counting,
+            save_sharded_counting,
+        )
+
+        ccfg = FilterConfig.complete(
+            n=max(n // args.num_shards, 100), p=args.p,
+            counting_bits=args.counting_bits,
+        )
+        cshards = build_sharded_counting(
+            df, args.key, ccfg, num_shards=args.num_shards
+        )
+        save_sharded_counting(cshards, args.checkpoint + "/sharded_counting",
+                              ccfg, num_shards=args.num_shards)
+        report["sharded_counting"] = {
+            "num_shards": args.num_shards,
+            "counting_bits": args.counting_bits,
+            "estimated_population": estimated_population_sharded_counting(
+                spark.read.parquet(
+                    args.checkpoint + "/sharded_counting/shards"
+                ),
+                ccfg,
             ),
         }
 

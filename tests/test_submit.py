@@ -42,7 +42,7 @@ def test_spark_submit_py_files_job(tmp_path):
         "--p", "0.01",
         "--checkpoint", str(ck),
         "--num-buckets", "8",
-        "--sharded", "--num-shards", "8",
+        "--sharded", "--counting", "--num-shards", "8",
         "--fpp-probes", "30000",
     ]
     env = dict(os.environ)
@@ -60,6 +60,11 @@ def test_spark_submit_py_files_job(tmp_path):
     assert report["observed_fpp"] <= 2 * 0.01
     assert report["buckets"] == 8
     assert report["sharded"]["num_shards"] == 8
-    # artifacts on disk: resumable checkpoint + durable sharded filter
+    assert report["sharded_counting"]["num_shards"] == 8
+    assert report["sharded_counting"]["estimated_population"] > 0
+    # artifacts on disk: resumable checkpoint + durable filters of
+    # both kinds, kind-tagged so they cannot be cross-loaded
     assert (ck / "lineage.json").exists()
     assert (ck / "sharded" / "config.json").exists()
+    cc = json.load(open(ck / "sharded_counting" / "config.json"))
+    assert cc["kind"] == "counting"
