@@ -478,6 +478,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end in ONE plan:
+    language-ID -> quality scoring -> keep en docs scoring >= 0.5 ->
+    MinHash+LSH near-dup pairs within the kept set -> connected-
+    component cluster resolution -> keep one representative per cluster
+    -> token counts on the kept corpus.  Every stage is an operator
+    this repo ships; the oracle replays the whole pipeline in SQL
+    (the pair stage via exact jaccard, which the LSH path provably
+    equals at this threshold; components via a recursive CTE), so the
+    match is strict."""
+    from bloomspark.pipeline import (
+        dedup_keep_representatives,
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        with_language_id,
+        with_quality,
+        with_token_counts,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = with_quality(with_language_id(docs))
+    kept0 = scored.where(
+        (F.col("lang_id") == "en") & (F.col("quality_score") >= 0.5)
+    )
+    pairs = minhash_lsh_pairs(
+        kept0.select("doc_id", "text"), verify_threshold=0.8
+    )
+    kept = dedup_keep_representatives(kept0, duplicate_clusters(pairs))
+    return with_token_counts(kept).select(
+        "doc_id",
+        "lang_id",
+        F.round("quality_score", 6).alias("quality_score"),
+        "n_ws_tokens",
+    )
+
+
 #: Fixed corpus for the simhash driver oracle.  The expected pairs below
 #: were verified against an independent all-pairs exact-hamming oracle
 #: (the banded pigeonhole pipeline found exactly the same set — the same
@@ -896,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "pipeline_kept_corpus": q_pipeline_kept_corpus,
         "simhash_dups": q_simhash_dups,
         "cosine_dups": q_cosine_dups,
         "text_stats": q_text_stats,
@@ -1233,6 +1270,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS doc_id,
                    CAST(min(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "pipeline_kept_corpus": """
+            WITH RECURSIVE lq AS (
+                SELECT doc_id, text,
+                    length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for)\\b', 1)) AS c_en,
+                    length(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\\b', 1)) AS c_de,
+                    length(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans|que|pour|pas)\\b', 1)) AS c_fr,
+                    length(regexp_extract_all(lower(text), '\\b(el|la|los|y|es|una|en|que|por|con)\\b', 1)) AS c_es,
+                    round(
+                      (CASE WHEN length(text) BETWEEN 200 AND 50000 THEN 0.25 ELSE 0.0 END)
+                    + (CASE WHEN length(text) / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1)
+                             BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                    + (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END)
+                    + (CASE WHEN length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for)\\b', 1))
+                             / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1) >= 0.05
+                        THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+                FROM documents
+            ),
+            kept0 AS (
+                SELECT doc_id, text, quality_score, 'en' AS lang_id
+                FROM lq
+                WHERE greatest(c_en, c_de, c_fr, c_es) > 0
+                  AND c_en = greatest(c_en, c_de, c_fr, c_es)
+                  AND quality_score >= 0.5
+            ),
+            t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM kept0
+            ),
+            sh0 AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, length(toks) - 2)) AS i
+                FROM t WHERE length(toks) >= 3
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                FROM sh0
+                UNION
+                SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS shingle
+                FROM t WHERE length(toks) < 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            c AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT c.id_a, c.id_b
+                FROM c
+                JOIN sz sa ON sa.doc_id = c.id_a
+                JOIN sz sb ON sb.doc_id = c.id_b
+                WHERE nc / (sa.n + sb.n - nc) >= 0.8
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+            ),
+            drop_ids AS (
+                SELECT id FROM (
+                    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+                ) WHERE id != cluster_id
+            )
+            SELECT k.doc_id, k.lang_id, k.quality_score,
+                   length(regexp_split_to_array(trim(k.text), '\\s+')) AS n_ws_tokens
+            FROM kept0 k
+            WHERE k.doc_id NOT IN (SELECT id FROM drop_ids)
         """,
         "cosine_dups": """
             WITH e AS (
