@@ -178,3 +178,52 @@ def test_exploded_probe_plan_no_python_no_nested_loop(spark, lineitem):
     for py_node in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert py_node not in p
     assert p.count("Generate") >= 1  # the explode
+
+
+def test_sharded_counting_probe_plan_cogroups(spark, lineitem):
+    """The counting cogroup probe pins the same shape as the membership
+    tier: FlatMapCoGroupsInPandas, no cartesian, and the counter
+    arrays live only on the S-row shard side."""
+    from bloomspark.sharded import (
+        build_sharded_counting,
+        with_sharded_estimated_count,
+    )
+
+    cfg = FilterConfig.complete(n=1000, p=0.01, counting_bits=16)
+    sh = build_sharded_counting(lineitem, "l_orderkey", cfg, num_shards=8)
+    probed = with_sharded_estimated_count(
+        lineitem.select("l_orderkey").limit(100), "l_orderkey", sh, cfg,
+        num_shards=8,
+    )
+    p = plan(probed)
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_duplicate_clusters_rounds_never_cartesian(spark):
+    """Every label-propagation round is join+groupBy on the edge set —
+    no cartesian, no nested-loop join anywhere in the converged result's
+    lineage (the per-round localCheckpoint truncates it, so pin the
+    round shape directly on an un-checkpointed replica)."""
+    from bloomspark.pipeline import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)], "id_a long, id_b long"
+    )
+    out = duplicate_clusters(pairs)
+    assert "CartesianProduct" not in plan(out)
+    # one un-checkpointed round, the shape that repeats at scale
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    ).distinct()
+    labels = edges.selectExpr("src AS id").distinct().withColumn(
+        "label", F.col("id")
+    )
+    nbr = edges.join(
+        labels.selectExpr("id AS dst", "label AS nlabel"), "dst"
+    ).selectExpr("src AS id", "nlabel AS label")
+    rnd = labels.unionByName(nbr).groupBy("id").agg(
+        F.min("label").alias("label")
+    )
+    p = plan(rnd)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
