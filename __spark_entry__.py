@@ -38,37 +38,6 @@ from bloomspark import (
 EXACT_P = 1e-9
 
 
-def _next_prime(x: int) -> int:
-    """Smallest prime >= x (deterministic Miller-Rabin, exact for
-    64-bit inputs) — used to pick cycle-free Kirsch-Mitzenmacher m."""
-
-    def is_prime(n: int) -> bool:
-        if n < 2:
-            return False
-        for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-            if n % p == 0:
-                return n == p
-        d, s = n - 1, 0
-        while d % 2 == 0:
-            d //= 2
-            s += 1
-        for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-            v = pow(a, d, n)
-            if v in (1, n - 1):
-                continue
-            for _ in range(s - 1):
-                v = v * v % n
-                if v == n - 1:
-                    break
-            else:
-                return False
-        return True
-
-    while not is_prime(x):
-        x += 1
-    return x
-
-
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -814,14 +783,12 @@ def q_sharded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _read(spark, sf_dir, "lineitem")
     part = _read(spark, sf_dir, "part")
     n, num_shards = lineitem.count(), 16
-    sized = FilterConfig.complete(n=max(n // num_shards, 100), p=EXACT_P)
-    # prime m: Kirsch-Mitzenmacher positions (a + i*b) mod m cycle with
-    # period m/gcd(b, m); composite m lets some keys' b share a factor
-    # with m, and min-selection then reads cycle-multiplicity x the true
-    # count (Java-parity semantics — the reference behaves identically).
-    # A prime m confines that to b % m == 0, probability ~1/m per key.
+    # prime_m: composite m lets Kirsch-Mitzenmacher position cycles
+    # inflate min-selection estimates (FilterConfig.complete docstring);
+    # a prime m keeps the exact-count oracle exact
     cfg = FilterConfig.complete(
-        m=_next_prime(sized.m), k=sized.k, counting_bits=32
+        n=max(n // num_shards, 100), p=EXACT_P, counting_bits=32,
+        prime_m=True,
     )
     shards = build_sharded_counting(
         lineitem, "l_partkey", cfg, num_shards=num_shards

@@ -76,6 +76,39 @@ def optimal_p(k: int, m: int, inserted_elements: float) -> float:
     return math.pow(1 - math.exp(-k * inserted_elements / float(m)), k)
 
 
+def next_prime(x: int) -> int:
+    """Smallest prime >= x (deterministic Miller-Rabin over the first
+    12 prime bases — exact for all 64-bit inputs).  Used by
+    ``FilterConfig.complete(prime_m=True)`` to avoid Kirsch-
+    Mitzenmacher position cycles (see that docstring)."""
+
+    def _is_prime(n: int) -> bool:
+        if n < 2:
+            return False
+        for q in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+            if n % q == 0:
+                return n == q
+        d, s = n - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            s += 1
+        for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+            v = pow(a, d, n)
+            if v in (1, n - 1):
+                continue
+            for _ in range(s - 1):
+                v = v * v % n
+                if v == n - 1:
+                    break
+            else:
+                return False
+        return True
+
+    while not _is_prime(x):
+        x += 1
+    return x
+
+
 @dataclass(frozen=True)
 class FilterConfig:
     """Completed, immutable filter configuration.
@@ -111,10 +144,28 @@ class FilterConfig:
         hash_method: str = DEFAULT_HASH_METHOD,
         name: str = "",
         extended: bool = False,
+        prime_m: bool = False,
     ) -> "FilterConfig":
-        """Infer missing parameters (FilterBuilder.complete, FilterBuilder.java:435-449)."""
+        """Infer missing parameters (FilterBuilder.complete, FilterBuilder.java:435-449).
+
+        ``prime_m=True`` rounds the sized m up to the next prime.  Why:
+        Kirsch-Mitzenmacher positions ``(a + i*b) mod m`` repeat with
+        period ``m / gcd(b, m)``, so a composite m lets some keys fold
+        their k positions onto a short cycle — membership is unaffected
+        (the folded positions are still set/tested consistently), but a
+        COUNTING filter's min-selection estimate then reads
+        cycle-multiplicity x the true count for those keys.  The
+        reference inherits the same quirk (HashProvider.java's KM loop);
+        a prime m confines it to ``b % m == 0`` (probability ~1/m per
+        key).  Rounding up only lowers the realized FPP.  Off by
+        default for reference bit-parity; turn it on for counting
+        filters whose estimates feed thresholds."""
         if m is None and n is not None and p is not None:
             m = optimal_m(n, p)
+            if prime_m:
+                m = next_prime(m)
+        elif prime_m and m is not None:
+            m = next_prime(m)
         if k is None and n is not None and m is not None:
             k = optimal_k(n, m)
         if m is None or k is None:

@@ -86,3 +86,23 @@ def test_dict_roundtrip():
 def test_unknown_hash_method_rejected():
     with pytest.raises(ValueError):
         FilterConfig.complete(n=10, p=0.1, hash_method="NotAHash")
+
+
+def test_prime_m_sizing():
+    """complete(prime_m=True) rounds m up to the next prime (killing
+    Kirsch-Mitzenmacher position cycles, see the complete() docstring)
+    without weakening the FPP bound; explicit m also rounds."""
+    from bloomspark.params import FilterConfig, next_prime, optimal_m, optimal_p
+
+    assert next_prime(2) == 2 and next_prime(8) == 11
+    assert next_prime(12940) == 12941  # the composite m the r5 test hit
+
+    cfg = FilterConfig.complete(n=300, p=1e-9, prime_m=True)
+    m0 = optimal_m(300, 1e-9)
+    assert cfg.m >= m0 and next_prime(cfg.m) == cfg.m
+    assert optimal_p(cfg.k, cfg.m, 300) <= 1e-9 * 1.01  # bound not weakened
+    plain = FilterConfig.complete(n=300, p=1e-9)
+    assert plain.m == m0  # default path unchanged (bit parity)
+
+    cfg2 = FilterConfig.complete(m=1000, k=5, prime_m=True)
+    assert cfg2.m == 1009
