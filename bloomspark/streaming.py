@@ -789,7 +789,12 @@ def streaming_dedup_sharded(
     When a generation accumulates more than ``max_gen_dirs`` version
     dirs, one compaction rewrites it whole — steady-state write traffic
     is touched-shards + 1/max_gen_dirs of the filter per batch, not
-    filter-size x batch-cadence.  ``checkpoint_dir`` must be a
+    filter-size x batch-cadence.  Sizing: a batch of B uniform keys
+    touches ~S(1-e^(-B/S)) shards, so the saving requires num_shards
+    ABOVE the per-batch key count — raise S until shards are
+    batch-sized (each shard's bitset shrinks with 1/S, so write bytes
+    then track B, not filter size; measured 8.1% of the full-rewrite
+    traffic at B=5, S=64 — BASELINE.md round-5).  ``checkpoint_dir`` must be a
     driver-local path (state bookkeeping is local-filesystem; rejected
     up front for ``hdfs://``/``s3a://`` URIs) — ``output_dir`` may be
     any Hadoop filesystem."""
