@@ -313,6 +313,43 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL (sketches/engine.py build_sketch_per_group,
+    round-5): approx distinct orderkeys per lineitem returnflag —
+    sketch states built through the salted two-phase shuffle, never
+    driver-resident; each group's estimate within 3 standard errors of
+    its exact distinct (exact value-matched against the SQL GROUP BY,
+    the bound carried as a boolean like hll_distinct)."""
+    from bloomspark.sketches import (
+        HyperLogLog,
+        build_sketch_per_group,
+        sketch_values_per_group,
+    )
+
+    hll = HyperLogLog(p=14)
+    lineitem = _read(spark, sf_dir, "lineitem")
+    grouped = build_sketch_per_group(lineitem, "l_returnflag", "l_orderkey", hll)
+    est = sketch_values_per_group(grouped, hll).select(
+        F.col("group").alias("l_returnflag"), "value"
+    )
+    exact = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    se = 1.04 / (2**7)
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            (
+                F.abs(F.col("value") - F.col("exact_distinct"))
+                / F.greatest(F.col("exact_distinct"), F.lit(1))
+                < 3 * se
+            ).alias("within_3sigma"),
+        )
+    )
+
+
 def q_cms_repo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min per-repo file counts: estimate >= exact always, and
     within the eps*N bound (checked per repo; exact counts value-matched
@@ -892,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha_invariant": q_sha_invariant,
         "code_sha_invariant": q_code_sha_invariant,
         "hll_distinct": q_hll_distinct,
+        "grouped_hll_distinct": q_grouped_hll_distinct,
         "cms_repo_counts": q_cms_repo_counts,
         "tdigest_quantiles": q_tdigest_quantiles,
         "kll_quantiles": q_kll_quantiles,
@@ -1070,6 +1108,13 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT sha256(content)) AS exact_distinct,
                    true AS within_3sigma
             FROM code
+        """,
+        "grouped_hll_distinct": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS exact_distinct,
+                   true AS within_3sigma
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "cms_repo_counts": """
             WITH code AS ({code_table})

@@ -22,13 +22,16 @@ answers, and in the driver oracle gate against DuckDB):
   2016), merge = level-wise concat + compaction.
 """
 
-from .engine import SketchHandle, build_sketch, build_sketch_checkpointed
+from .engine import (SketchHandle, build_sketch, build_sketch_checkpointed,
+                     build_sketch_per_group, sketch_values_per_group)
 from .hll import HyperLogLog
 from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
 
 __all__ = [
+    "build_sketch_per_group",
+    "sketch_values_per_group",
     "HyperLogLog",
     "CountMinSketch",
     "TDigest",

@@ -162,6 +162,110 @@ def build_sketch(
     return SketchHandle(sketch, state, int(sum(r["rows"] for r in rows)), lineage)
 
 
+GROUPED_SKETCH_SCHEMA = "group string, rows bigint, payload binary"
+
+
+def build_sketch_per_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    sketch,
+    *,
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """One sketch per group -> DataFrame (group, rows, payload) — the
+    grouped twin of :func:`build_sketch`, same two-phase salted shape
+    as ``build_bloom_per_group`` (grouped.py): stage 1 accumulates one
+    state per (group, salt slice) inside ``mapInArrow``, stage 2 merges
+    each group's <= salt_partitions states.  Sketch states never touch
+    the driver; the classic use is approx-distinct / quantiles PER
+    TENANT at a group count where per-group exact aggregation would
+    shuffle the full table."""
+    import pandas as pd
+
+    numeric = sketch.numeric
+    keyed = df.select(
+        F.col(group_col).cast("string").alias("__group"),
+        _value_column(col, numeric).alias("__v"),
+        F.pmod(
+            F.xxhash64(_value_column(col, numeric)), F.lit(salt_partitions)
+        ).alias("__salt"),
+    )
+
+    def stage1(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        states: dict = {}
+        for batch in batches:
+            groups = batch.column(0).to_numpy(zero_copy_only=False)
+            vals_all = batch.column(1)
+            if len(groups) == 0:
+                continue
+            uniq, codes = np.unique(groups.astype(object), return_inverse=True)
+            for gi, g in enumerate(uniq):
+                mask = codes == gi
+                vals = _decode(vals_all.filter(pa.array(mask)), numeric)
+                st = states.setdefault(str(g), [sketch.new_state(), 0])
+                sketch.update(st[0], vals)
+                st[1] += int(mask.sum())
+        if not states:
+            return
+        cols = {"group": [], "rows": [], "payload": []}
+        for g, (st, rows) in sorted(states.items()):
+            cols["group"].append(g)
+            cols["rows"].append(rows)
+            cols["payload"].append(sketch.serialize(st))
+        yield pa.RecordBatch.from_pydict(
+            cols,
+            schema=pa.schema(
+                [("group", pa.string()), ("rows", pa.int64()),
+                 ("payload", pa.binary())]
+            ),
+        )
+
+    def stage2(pdf):
+        state = None
+        for payload in pdf["payload"]:
+            other = sketch.deserialize(bytes(payload))
+            state = other if state is None else sketch.merge_states(state, other)
+        return pd.DataFrame(
+            {
+                "group": [pdf["group"].iloc[0]],
+                "rows": [int(pdf["rows"].sum())],
+                "payload": [sketch.serialize(state)],
+            }
+        )
+
+    shuffle_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    partials = keyed.repartition(
+        max(shuffle_parts, 1), "__group", "__salt"
+    ).mapInArrow(stage1, schema=GROUPED_SKETCH_SCHEMA)
+    return partials.groupBy("group").applyInPandas(
+        stage2, schema=GROUPED_SKETCH_SCHEMA
+    )
+
+
+def sketch_values_per_group(
+    grouped: DataFrame, sketch, method: str = "estimate", args: tuple = ()
+) -> DataFrame:
+    """Evaluate a sketch result method per group -> (group, rows,
+    value double), executor-side (states never reach the driver)."""
+    import pandas as pd
+
+    def apply(pdf):
+        vals = [
+            float(getattr(sketch, method)(sketch.deserialize(bytes(p)), *args))
+            for p in pdf["payload"]
+        ]
+        return pd.DataFrame(
+            {"group": pdf["group"], "rows": pdf["rows"], "value": vals}
+        )
+
+    return grouped.groupBy("group").applyInPandas(
+        apply, schema="group string, rows bigint, value double"
+    )
+
+
 def build_sketch_checkpointed(
     df: DataFrame,
     col: str,

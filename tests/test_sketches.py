@@ -217,3 +217,82 @@ def test_streaming_hll_build(spark, tmp_path):
         streaming_sketch_build(
             stream, "key", HyperLogLog(p=11), str(tmp_path / "ck")
         )
+
+
+def test_grouped_hll_matches_per_group_builds(spark, lineitem):
+    """Round-5: per-group sketches.  Each group's payload is
+    byte-identical to a standalone build_sketch over that group's
+    subset (state = pure function of the value multiset), estimates
+    land within 3 sigma of exact per-group distincts, and the build is
+    input-partitioning invariant."""
+    from bloomspark.sketches import (
+        HyperLogLog,
+        build_sketch,
+        build_sketch_per_group,
+        sketch_values_per_group,
+    )
+
+    hll = HyperLogLog(p=12)
+    grouped = build_sketch_per_group(
+        lineitem, "l_returnflag", "l_orderkey", hll
+    ).persist()
+    payloads = {r["group"]: bytes(r["payload"]) for r in grouped.collect()}
+    flags = [r[0] for r in lineitem.select("l_returnflag").distinct().collect()]
+    assert set(payloads) == set(flags)
+
+    for flag in flags:
+        sub = lineitem.where(F.col("l_returnflag") == flag)
+        solo = build_sketch(sub, "l_orderkey", hll)
+        assert payloads[flag] == hll.serialize(solo.state), flag
+        exact = sub.select("l_orderkey").distinct().count()
+        est = hll.estimate(hll.deserialize(payloads[flag]))
+        assert abs(est - exact) / exact <= 3 * hll.standard_error()
+
+    vals = {
+        r["group"]: r["value"]
+        for r in sketch_values_per_group(grouped, hll).collect()
+    }
+    for flag in flags:
+        assert vals[flag] == pytest.approx(
+            hll.estimate(hll.deserialize(payloads[flag]))
+        )
+
+    other = build_sketch_per_group(
+        lineitem.repartition(7), "l_returnflag", "l_orderkey", hll
+    )
+    assert {
+        r["group"]: bytes(r["payload"]) for r in other.collect()
+    } == payloads
+    grouped.unpersist()
+
+
+def test_grouped_tdigest_numeric_quantiles(spark, lineitem):
+    """The grouped build generalizes to numeric sketches: per-group
+    t-digest medians within the rank-error bound of exact."""
+    from bloomspark.sketches import TDigest, build_sketch_per_group, sketch_values_per_group
+
+    td = TDigest(delta=200)
+    grouped = build_sketch_per_group(
+        lineitem, "l_returnflag", "l_extendedprice", td
+    )
+    got = {
+        r["group"]: r["value"]
+        for r in sketch_values_per_group(
+            grouped, td, method="quantile", args=(0.5,)
+        ).collect()
+    }
+    for flag, want in (
+        (r["l_returnflag"], r["med"])
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med"))
+        .collect()
+    ):
+        lo, hi = (
+            lineitem.where(F.col("l_returnflag") == flag)
+            .agg(
+                F.expr("percentile(l_extendedprice, 0.47)"),
+                F.expr("percentile(l_extendedprice, 0.53)"),
+            )
+            .collect()[0]
+        )
+        assert lo <= got[flag] <= hi, (flag, got[flag], want)
