@@ -192,6 +192,8 @@ def build_sketch_per_group(
         ).alias("__salt"),
     )
 
+    from ..grouped import _factorize_groups, _group_sort_key
+
     def stage1(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         states: dict = {}
         for batch in batches:
@@ -199,17 +201,19 @@ def build_sketch_per_group(
             vals_all = batch.column(1)
             if len(groups) == 0:
                 continue
-            uniq, codes = np.unique(groups.astype(object), return_inverse=True)
+            # null-safe factorization (np.unique cannot sort None next
+            # to str, and str(None) would corrupt the null group)
+            codes, uniq = _factorize_groups(groups)
             for gi, g in enumerate(uniq):
                 mask = codes == gi
                 vals = _decode(vals_all.filter(pa.array(mask)), numeric)
-                st = states.setdefault(str(g), [sketch.new_state(), 0])
+                st = states.setdefault(g, [sketch.new_state(), 0])
                 sketch.update(st[0], vals)
                 st[1] += int(mask.sum())
         if not states:
             return
         cols = {"group": [], "rows": [], "payload": []}
-        for g, (st, rows) in sorted(states.items()):
+        for g, (st, rows) in sorted(states.items(), key=_group_sort_key):
             cols["group"].append(g)
             cols["rows"].append(rows)
             cols["payload"].append(sketch.serialize(st))

@@ -296,3 +296,27 @@ def test_grouped_tdigest_numeric_quantiles(spark, lineitem):
             .collect()[0]
         )
         assert lo <= got[flag] <= hi, (flag, got[flag], want)
+
+
+def test_grouped_sketch_null_groups(spark):
+    """Null group values build their own sketch (not a 'None' string
+    group) — the same contract as the grouped Bloom builds."""
+    from bloomspark.sketches import (
+        HyperLogLog,
+        build_sketch_per_group,
+        sketch_values_per_group,
+    )
+
+    hll = HyperLogLog(p=12)
+    rows = [("a", f"k{i}") for i in range(50)] + [
+        (None, f"n{i}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    grouped = build_sketch_per_group(df, "g", "v", hll)
+    got = {
+        r["group"]: r["value"]
+        for r in sketch_values_per_group(grouped, hll).collect()
+    }
+    assert set(got) == {"a", None}
+    assert abs(got["a"] - 50) / 50 <= 3 * hll.standard_error()
+    assert abs(got[None] - 30) / 30 <= 3 * hll.standard_error()
