@@ -37,6 +37,20 @@ def shard_column(key_col: str, num_shards: int):
     return F.pmod(F.xxhash64(key_column(key_col)), F.lit(num_shards))
 
 
+def _reserve_probe_cols(df: DataFrame, out_col: str) -> None:
+    """Cogroup probes stage ``__key``/``__shard`` on the probe df and
+    append ``out_col``; a caller column with one of those names would
+    be silently clobbered — refuse loudly (same contract as the fast
+    tier's ``__f*`` reservation)."""
+    clash = [c for c in df.columns if c in ("__key", "__shard", out_col)]
+    if clash:
+        raise ValueError(
+            f"column(s) {clash} collide with the sharded probe's "
+            f"reserved names ('__key', '__shard', out_col {out_col!r}); "
+            "rename or drop them before probing"
+        )
+
+
 def build_sharded_bloom(
     df: DataFrame,
     col: str,
@@ -84,6 +98,7 @@ def with_sharded_membership(
 
     from pyspark.sql.types import BooleanType, StructField, StructType
 
+    _reserve_probe_cols(df, out_col)
     m, k, method = shard_config.m, shard_config.k, shard_config.hash_method
     # StructType.add mutates in place — build a fresh schema instead of
     # appending to the DataFrame's cached one
@@ -172,6 +187,7 @@ def with_sharded_estimated_count(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    _reserve_probe_cols(df, out_col)
     m, k, method = shard_config.m, shard_config.k, shard_config.hash_method
     dt = counter_dtype(shard_config.counting_bits)
     out_schema = StructType(
