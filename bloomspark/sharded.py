@@ -116,7 +116,17 @@ def with_sharded_membership(
     def probe(pdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
         result = np.zeros(len(pdf), dtype=bool)
         if len(pdf) and len(sdf):
+            # >1 row per shard = a non-canonical (un-merged union) filter
+            # table; OR them — identical to probing the merge, instead of
+            # silently reading only the first row (false negatives)
             bits = np.frombuffer(bytes(sdf["bitset"].iloc[0]), dtype=np.uint8)
+            if len(sdf) > 1:
+                bits = bits.copy()
+                for buf in sdf["bitset"].iloc[1:]:
+                    np.bitwise_or(
+                        bits, np.frombuffer(bytes(buf), dtype=np.uint8),
+                        out=bits,
+                    )
             keys = _series_to_keys(pdf["__key"])
             pos = get_hash_fn(method)(keys, m, k)
             result = test_positions(bits, pos)
@@ -132,6 +142,24 @@ def with_sharded_membership(
 
 
 COUNTING_SHARDS_SCHEMA = "shard long, rows bigint, nonzero bigint, counters binary"
+
+
+def _sum_counter_rows(buffers, shard_config: FilterConfig) -> np.ndarray:
+    """Saturating sum of one shard's counter-array rows.  One row is the
+    canonical case; >1 means a non-canonical (un-merged union) table —
+    summing matches what merge_sharded_counting would have produced,
+    instead of silently reading only the first row."""
+    from .counting import add_saturating, counter_dtype, counter_max
+
+    dt = counter_dtype(shard_config.counting_bits)
+    acc = np.frombuffer(bytes(buffers.iloc[0]), dtype=dt)
+    if len(buffers) == 1:
+        return acc
+    acc = acc.copy()
+    mx = counter_max(shard_config.counting_bits)
+    for buf in buffers.iloc[1:]:
+        add_saturating(acc, np.frombuffer(bytes(buf), dtype=dt), mx)
+    return acc
 
 
 def build_sharded_counting(
@@ -202,7 +230,7 @@ def with_sharded_estimated_count(
     def probe(pdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
         result = np.zeros(len(pdf), dtype=np.int64)
         if len(pdf) and len(sdf):
-            counters = np.frombuffer(bytes(sdf["counters"].iloc[0]), dtype=dt)
+            counters = _sum_counter_rows(sdf["counters"], shard_config)
             keys = _series_to_keys(pdf["__key"])
             pos = get_hash_fn(method)(keys, m, k)
             result = counters[pos].min(axis=1).astype(np.int64)
@@ -268,10 +296,9 @@ def subtract_sharded_counting(
     :func:`merge_sharded_counting`: one cogroup on the shard id, a
     counter array crosses the wire once per job.  Shards present only
     in ``removes`` vanish (nothing to subtract from); shards present
-    only in ``adds`` pass through untouched."""
-    from .counting import counter_dtype
-
-    dt = counter_dtype(shard_config.counting_bits)
+    only in ``adds`` pass through untouched.  Non-canonical inputs
+    (multiple rows per shard, e.g. a raw union of builds) are summed
+    per side first — identical to pre-merging them."""
     add_side = adds.select("shard", "rows", "nonzero", "counters")
     rem_side = removes.select(F.col("shard").alias("shard"), "counters")
 
@@ -280,14 +307,14 @@ def subtract_sharded_counting(
             return pd.DataFrame(
                 {"shard": [], "rows": [], "nonzero": [], "counters": []}
             ).astype({"shard": "int64", "rows": "int64", "nonzero": "int64"})
-        acc = np.frombuffer(bytes(apdf["counters"].iloc[0]), dtype=dt).copy()
+        acc = _sum_counter_rows(apdf["counters"], shard_config).copy()
         if len(rpdf):
-            rem = np.frombuffer(bytes(rpdf["counters"].iloc[0]), dtype=dt)
+            rem = _sum_counter_rows(rpdf["counters"], shard_config)
             np.subtract(acc, np.minimum(acc, rem), out=acc)
         return pd.DataFrame(
             {
                 "shard": [int(apdf["shard"].iloc[0])],
-                "rows": [int(apdf["rows"].iloc[0])],
+                "rows": [int(apdf["rows"].sum())],
                 "nonzero": [int(np.count_nonzero(acc))],
                 "counters": [acc.tobytes()],
             }
@@ -307,14 +334,24 @@ def estimated_population_sharded_counting(
     swamidass-baldi estimate from each shard's NONZERO slot count
     (a counting filter's bit-level analog of `ones`), summed over
     shards — only S (shard, nonzero) rows reach the driver."""
+    return _swamidass_baldi_sum(shards, "nonzero", shard_config)
+
+
+def _swamidass_baldi_sum(
+    shards: DataFrame, set_col: str, shard_config: FilterConfig
+) -> int:
+    """Shared per-shard swamidass-baldi population sum
+    (BloomFilter.getEstimatedPopulation, java:285-293) over whichever
+    column carries the set-slot count (`ones` for bitsets, `nonzero`
+    for counters).  Only S (shard, count) rows reach the driver."""
     import math
 
     m, k = shard_config.m, shard_config.k
-    rows = shards.select("shard", "nonzero").collect()
+    rows = shards.select("shard", set_col).collect()
     total = 0.0
     for r in rows:
-        nz = min(int(r["nonzero"]), m - 1)
-        total += -(m / k) * math.log(1.0 - nz / m)
+        x = min(int(r[set_col]), m - 1)
+        total += -(m / k) * math.log(1.0 - x / m)
     return int(round(total))
 
 
@@ -364,18 +401,10 @@ def merge_sharded(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def estimated_population_sharded(shards: DataFrame, shard_config: FilterConfig) -> int:
     """Population estimate of a sharded filter: the per-shard swamidass-
-    baldi estimate (BloomFilter.getEstimatedPopulation, java:285-293,
-    computed from each shard's ones count) summed over shards.  Only S
-    (shard, ones) rows reach the driver — never a bitset."""
-    import math
-
-    m, k = shard_config.m, shard_config.k
-    rows = shards.select("shard", "ones").collect()
-    total = 0.0
-    for r in rows:
-        ones = min(int(r["ones"]), m - 1)
-        total += -(m / k) * math.log(1.0 - ones / m)
-    return int(round(total))
+    baldi estimate from each shard's ones count, summed over shards
+    (see :func:`_swamidass_baldi_sum`) — the driver never sees a
+    bitset."""
+    return _swamidass_baldi_sum(shards, "ones", shard_config)
 
 
 def save_sharded(

@@ -689,6 +689,21 @@ def _make_sharded_dedup_batch_processor(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         state = _read_state()
+        # pre-round-5 state.json stored cur/prev as plain dir strings
+        # (one save_sharded dir held the whole generation); normalize to
+        # the manifest form so an upgraded restart keeps its state
+        for slot in ("cur", "prev"):
+            gen = state.get(slot)
+            if isinstance(gen, str):
+                _validate_dir(gen)
+                state[slot] = {
+                    "shard_dirs": {
+                        str(int(r["shard"])): gen
+                        for r in spark.read.parquet(
+                            os.path.join(gen, "shards")
+                        ).select("shard").collect()
+                    }
+                }
         batch_df = batch_df.dropDuplicates([col])
         new_rows = batch_df
         for gen in (state["cur"], state["prev"]):
@@ -727,10 +742,22 @@ def _make_sharded_dedup_batch_processor(
                     built,
                     cur_df.join(built.select("shard"), "shard", "semi"),
                 )
-        # a NEW version dir per batch: the merged shards still read the
-        # old version's parquet lazily, so overwriting in place would
-        # corrupt the very files the merge is scanning
-        new_dir = os.path.join(checkpoint_dir, f"gen_v{batch_id}")
+        # a NEW, NEVER-REUSED version dir per attempt: the merged shards
+        # still read old versions' parquet lazily, so overwriting any
+        # existing dir would corrupt the files being scanned — and a
+        # batch REPLAY (Structured Streaming re-runs batch N when the
+        # crash fell between our state commit and Spark's offset commit)
+        # must not overwrite the already-committed gen_v{N} the live
+        # manifest references; an existing dir gets an attempt suffix
+        # and uncommitted leftovers are swept after the state commit
+        def _fresh_dir(base: str) -> str:
+            d, i = base, 0
+            while os.path.exists(d):
+                i += 1
+                d = f"{base}_r{i}"
+            return d
+
+        new_dir = _fresh_dir(os.path.join(checkpoint_dir, f"gen_v{batch_id}"))
         shard_dirs = dict(cur["shard_dirs"]) if cur is not None else {}
         shard_dirs.update(_save_version(spark, built, new_dir))
         cur_gen = {"shard_dirs": shard_dirs}
@@ -738,17 +765,22 @@ def _make_sharded_dedup_batch_processor(
             # compaction: rewrite the full generation ONCE so manifest
             # fan-out (and probe-side unions) stay bounded
             full = _load_gen(spark, cur_gen)
-            compact_dir = os.path.join(
-                checkpoint_dir, f"gen_v{batch_id}_compact"
+            compact_dir = _fresh_dir(
+                os.path.join(checkpoint_dir, f"gen_v{batch_id}_compact")
             )
             cur_gen = {"shard_dirs": _save_version(spark, full, compact_dir)}
-        cur_df = _load_gen(spark, cur_gen)
-        if (
-            rotate_at_population is not None
-            and cur_df is not None
-            and estimated_population_sharded(cur_df, shard_config)
-            >= rotate_at_population
-        ):
+        if rotate_at_population is not None:
+            cur_df = _load_gen(spark, cur_gen)
+            rotate = (
+                cur_df is not None
+                and estimated_population_sharded(cur_df, shard_config)
+                >= rotate_at_population
+            )
+        else:
+            # rotation disabled: skip the per-batch generation re-read
+            # whose only consumer is the population check
+            rotate = False
+        if rotate:
             # generation swap, driver-path semantics: the full filter
             # becomes "previous", the current generation restarts empty
             state = {"cur": None, "prev": cur_gen}

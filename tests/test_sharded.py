@@ -450,3 +450,75 @@ def test_subtract_sharded_counting_remove_only_shards_vanish(spark):
     assert rem_shards - add_shards, "test needs remove-only shards"
     out = subtract_sharded_counting(adds, rems, cfg)
     assert {int(r["shard"]) for r in out.collect()} == add_shards
+
+
+def test_probes_reduce_non_canonical_multi_row_shards(spark):
+    """Round-5 review finding: a raw union of two builds (multiple rows
+    per shard, the shape merge_sharded* accepts) must probe like the
+    MERGE of those builds — OR for bitsets, saturating sum for
+    counters, both sides summed in subtract — not silently read only
+    the first row."""
+    from bloomspark.sharded import (
+        build_sharded_bloom,
+        build_sharded_counting,
+        merge_sharded,
+        merge_sharded_counting,
+        subtract_sharded_counting,
+        with_sharded_estimated_count,
+        with_sharded_membership,
+    )
+
+    S = 8
+    bcfg = FilterConfig.complete(n=200, p=1e-9)
+    ccfg = FilterConfig.complete(n=200, p=1e-9, counting_bits=16)
+
+    def kdf(ks):
+        return spark.createDataFrame([(k,) for k in ks], "k string")
+
+    a_keys = [f"a{i}" for i in range(150)]
+    b_keys = [f"b{i}" for i in range(150)]
+    probe = kdf(a_keys + b_keys + ["absent"])
+
+    # membership: union == merge
+    ba = build_sharded_bloom(kdf(a_keys), "k", bcfg, num_shards=S)
+    bb = build_sharded_bloom(kdf(b_keys), "k", bcfg, num_shards=S)
+    union = ba.unionByName(bb)
+    got_u = {
+        r["k"]: r["member"]
+        for r in with_sharded_membership(probe, "k", union, bcfg, num_shards=S).collect()
+    }
+    got_m = {
+        r["k"]: r["member"]
+        for r in with_sharded_membership(
+            probe, "k", merge_sharded(ba, bb), bcfg, num_shards=S
+        ).collect()
+    }
+    assert got_u == got_m
+    assert got_u["a0"] and got_u["b0"] and not got_u["absent"]
+
+    # counting: union == merge; subtract of a union side
+    ca = build_sharded_counting(kdf(a_keys * 2), "k", ccfg, num_shards=S)
+    cb = build_sharded_counting(kdf(b_keys), "k", ccfg, num_shards=S)
+    cunion = ca.unionByName(cb)
+    got_cu = {
+        r["k"]: r["est_count"]
+        for r in with_sharded_estimated_count(
+            probe, "k", cunion, ccfg, num_shards=S
+        ).collect()
+    }
+    got_cm = {
+        r["k"]: r["est_count"]
+        for r in with_sharded_estimated_count(
+            probe, "k", merge_sharded_counting(ca, cb, ccfg), ccfg, num_shards=S
+        ).collect()
+    }
+    assert got_cu == got_cm
+    sub_u = subtract_sharded_counting(cunion, cb, ccfg)
+    sub_m = subtract_sharded_counting(
+        merge_sharded_counting(ca, cb, ccfg), cb, ccfg
+    )
+    assert {
+        int(r["shard"]): bytes(r["counters"]) for r in sub_u.collect()
+    } == {
+        int(r["shard"]): bytes(r["counters"]) for r in sub_m.collect()
+    }

@@ -858,3 +858,84 @@ def test_streaming_dedup_replay_at_least_once_bound(spark, tmp_path):
     # state converged: only genuinely new keys pass afterwards
     pb(spark.createDataFrame([("new1",), ("k3",)], "key string"), 1)
     assert emitted() == sorted(keys * 2 + ["new1"])
+
+
+def test_sharded_dedup_replay_does_not_overwrite_committed_state(spark, tmp_path):
+    """Round-5 review finding: Structured Streaming re-runs batch N when
+    a crash falls between our state commit and Spark's offset commit.
+    The replay's (empty) build must NOT overwrite the committed
+    gen_v{N} the live manifest references — suppression must survive
+    byte-for-byte, and no rows may be re-emitted."""
+    import json
+
+    from bloomspark.streaming import _make_sharded_dedup_batch_processor
+
+    shard_cfg = FilterConfig.complete(n=200, p=1e-9, hash_method="XXHash64KM")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    sh = _make_sharded_dedup_batch_processor(
+        "key", shard_cfg, ck, out, num_shards=8
+    )
+
+    def batch(keys):
+        return spark.createDataFrame([(k,) for k in keys], "key string")
+
+    keys = [f"k{i}" for i in range(100)]
+    sh(batch(keys), 0)
+    state0 = json.load(open(os.path.join(ck, "state.json")))
+    (v0,) = set(state0["cur"]["shard_dirs"].values())
+
+    def snapshot(d):
+        files = {}
+        for root, _, names in os.walk(d):
+            for n in names:
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                files[p] = (st.st_mtime_ns, st.st_size)
+        return files
+
+    committed = snapshot(v0)
+    n_before = spark.read.parquet(out).count()
+
+    sh(batch(keys), 0)  # replay of the already-committed batch
+    assert snapshot(v0) == committed, "replay overwrote committed state"
+    assert spark.read.parquet(out).count() == n_before, "replay re-emitted"
+    state1 = json.load(open(os.path.join(ck, "state.json")))
+    assert set(state1["cur"]["shard_dirs"].values()) == {v0}
+    # suppression still exact afterwards; new keys still pass
+    sh(batch(keys + ["brand-new"]), 1)
+    emitted = sorted(r["key"] for r in spark.read.parquet(out).collect())
+    assert emitted == sorted(keys + ["brand-new"])
+
+
+def test_sharded_dedup_migrates_pre_round5_state(spark, tmp_path):
+    """A checkpoint whose state.json stores cur/prev as plain dir
+    strings (the pre-manifest format) keeps suppressing after upgrade:
+    the processor normalizes it to a manifest on first use."""
+    import json
+
+    from bloomspark.sharded import build_sharded_bloom, save_sharded
+    from bloomspark.streaming import _make_sharded_dedup_batch_processor
+
+    shard_cfg = FilterConfig.complete(n=200, p=1e-9, hash_method="XXHash64KM")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    os.makedirs(ck)
+    keys = [f"old{i}" for i in range(80)]
+    gen = os.path.join(ck, "gen_v0")
+    save_sharded(
+        build_sharded_bloom(
+            spark.createDataFrame([(k,) for k in keys], "key string"),
+            "key", shard_cfg, num_shards=8,
+        ),
+        gen, shard_cfg, num_shards=8,
+    )
+    with open(os.path.join(ck, "state.json"), "w") as f:
+        json.dump({"cur": gen, "prev": None}, f)
+
+    sh = _make_sharded_dedup_batch_processor(
+        "key", shard_cfg, ck, out, num_shards=8
+    )
+    sh(spark.createDataFrame([(k,) for k in keys + ["fresh"]], "key string"), 1)
+    emitted = sorted(r["key"] for r in spark.read.parquet(out).collect())
+    assert emitted == ["fresh"], "legacy state was not honored"
+    state = json.load(open(os.path.join(ck, "state.json")))
+    assert isinstance(state["cur"], dict) and "shard_dirs" in state["cur"]
