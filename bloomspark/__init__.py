@@ -50,7 +50,9 @@ from .sketches import (
     build_sketch_checkpointed,
 )
 from .sharded import (build_sharded_bloom, build_sharded_counting,
-                      load_sharded, load_sharded_counting,
+                      estimated_population_sharded,
+                      estimated_population_sharded_counting,
+                      load_sharded, load_sharded_counting, merge_sharded,
                       merge_sharded_counting, save_sharded,
                       save_sharded_counting, subtract_sharded_counting,
                       with_sharded_estimated_count, with_sharded_membership)
@@ -92,6 +94,9 @@ __all__ = [
     "build_sketch_checkpointed",
     "build_sharded_bloom",
     "with_sharded_membership",
+    "merge_sharded",
+    "estimated_population_sharded",
+    "estimated_population_sharded_counting",
     "build_sharded_counting",
     "with_sharded_estimated_count",
     "merge_sharded_counting",

@@ -112,6 +112,39 @@ def key_column(col: str, cast: bool = True) -> Column:
     return c.cast("string") if cast else c
 
 
+def reserve_probe_cols(
+    df: DataFrame,
+    out_col: str,
+    *,
+    exact: tuple = (),
+    prefix: str | None = None,
+    tier: str = "probe",
+) -> None:
+    """Probe paths stage fixed-name temp columns on the probe df and
+    append ``out_col``; a caller column with one of those names would be
+    silently clobbered (withColumn) or duplicated (select) — refuse
+    loudly.  Shared contract of the fast (``prefix='__f'``) and sharded
+    (``exact=('__key', '__shard')``) tiers."""
+    clash = [
+        c
+        for c in df.columns
+        if c == out_col
+        or c in exact
+        or (prefix is not None and c.startswith(prefix))
+    ]
+    if clash:
+        parts = [f"out_col {out_col!r}"]
+        if exact:
+            parts.append("/".join(repr(e) for e in exact))
+        if prefix is not None:
+            parts.append(f"the {prefix!r}* temp prefix")
+        raise ValueError(
+            f"column(s) {clash} collide with the {tier} probe's reserved "
+            f"names ({' and '.join(parts)}); rename or drop them before "
+            "probing"
+        )
+
+
 _PARTIAL_PA_SCHEMA = pa.schema(
     [
         ("part_id", pa.int32()),

@@ -62,6 +62,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .build import reserve_probe_cols
 from .counting import CountingBloomFilter
 from .filter import BloomFilter
 from .hashing import FAST_SEED2
@@ -88,17 +89,9 @@ def _fast_key(col: str) -> Column:
 
 
 def _reserve_probe_cols(df: DataFrame, out_col: str) -> None:
-    """Probe paths stage fixed-name ``__f*`` temp columns on ``df`` and
-    append ``out_col``; a caller column with one of those names would be
-    silently clobbered (kjoin withColumn) or duplicated (exploded
-    select) — refuse loudly instead of diverging per strategy."""
-    clash = [c for c in df.columns if c == out_col or c.startswith("__f")]
-    if clash:
-        raise ValueError(
-            f"column(s) {clash} collide with the fast probe's reserved "
-            f"names (out_col {out_col!r} and the '__f*' temp prefix); "
-            "rename or drop them before probing"
-        )
+    """Fast probes stage fixed-name ``__f*`` temp columns (kjoin
+    withColumn clobbers, exploded select duplicates) — shared guard."""
+    reserve_probe_cols(df, out_col, prefix="__f", tier="fast")
 
 
 def fast_hash_cols(col: str, config: FilterConfig):

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .build import _series_to_keys, key_column
+from .build import _series_to_keys, key_column, reserve_probe_cols
 from .grouped import build_bloom_per_group
 from .params import FilterConfig
 
@@ -38,17 +38,11 @@ def shard_column(key_col: str, num_shards: int):
 
 
 def _reserve_probe_cols(df: DataFrame, out_col: str) -> None:
-    """Cogroup probes stage ``__key``/``__shard`` on the probe df and
-    append ``out_col``; a caller column with one of those names would
-    be silently clobbered — refuse loudly (same contract as the fast
-    tier's ``__f*`` reservation)."""
-    clash = [c for c in df.columns if c in ("__key", "__shard", out_col)]
-    if clash:
-        raise ValueError(
-            f"column(s) {clash} collide with the sharded probe's "
-            f"reserved names ('__key', '__shard', out_col {out_col!r}); "
-            "rename or drop them before probing"
-        )
+    """Cogroup probes stage ``__key``/``__shard`` on the probe df —
+    shared guard (same contract as the fast tier's ``__f*``)."""
+    reserve_probe_cols(
+        df, out_col, exact=("__key", "__shard"), tier="sharded"
+    )
 
 
 def build_sharded_bloom(
@@ -144,17 +138,21 @@ def with_sharded_membership(
 COUNTING_SHARDS_SCHEMA = "shard long, rows bigint, nonzero bigint, counters binary"
 
 
-def _sum_counter_rows(buffers, shard_config: FilterConfig) -> np.ndarray:
+def _sum_counter_rows(
+    buffers, shard_config: FilterConfig, *, writable: bool = False
+) -> np.ndarray:
     """Saturating sum of one shard's counter-array rows.  One row is the
     canonical case; >1 means a non-canonical (un-merged union) table —
     summing matches what merge_sharded_counting would have produced,
-    instead of silently reading only the first row."""
+    instead of silently reading only the first row.  ``writable=True``
+    guarantees an owned mutable array (the >1-row path already copies,
+    so callers that mutate should ask rather than re-copy)."""
     from .counting import add_saturating, counter_dtype, counter_max
 
     dt = counter_dtype(shard_config.counting_bits)
     acc = np.frombuffer(bytes(buffers.iloc[0]), dtype=dt)
     if len(buffers) == 1:
-        return acc
+        return acc.copy() if writable else acc
     acc = acc.copy()
     mx = counter_max(shard_config.counting_bits)
     for buf in buffers.iloc[1:]:
@@ -210,14 +208,12 @@ def with_sharded_estimated_count(
     shard id, each task reads its shard's ONE counter array (the array
     crosses the wire S times per job, never per probe row).  Shards
     absent from ``shards`` estimate 0."""
-    from .counting import counter_dtype
     from .hashing import get_hash_fn
 
     from pyspark.sql.types import LongType, StructField, StructType
 
     _reserve_probe_cols(df, out_col)
     m, k, method = shard_config.m, shard_config.k, shard_config.hash_method
-    dt = counter_dtype(shard_config.counting_bits)
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, LongType())]
     )
@@ -307,7 +303,7 @@ def subtract_sharded_counting(
             return pd.DataFrame(
                 {"shard": [], "rows": [], "nonzero": [], "counters": []}
             ).astype({"shard": "int64", "rows": "int64", "nonzero": "int64"})
-        acc = _sum_counter_rows(apdf["counters"], shard_config).copy()
+        acc = _sum_counter_rows(apdf["counters"], shard_config, writable=True)
         if len(rpdf):
             rem = _sum_counter_rows(rpdf["counters"], shard_config)
             np.subtract(acc, np.minimum(acc, rem), out=acc)
@@ -334,20 +330,49 @@ def estimated_population_sharded_counting(
     swamidass-baldi estimate from each shard's NONZERO slot count
     (a counting filter's bit-level analog of `ones`), summed over
     shards — only S (shard, nonzero) rows reach the driver."""
-    return _swamidass_baldi_sum(shards, "nonzero", shard_config)
+
+    def reduce_counts(sdf: DataFrame) -> DataFrame:
+        def red(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = _sum_counter_rows(pdf["counters"], shard_config)
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "nonzero": [int(np.count_nonzero(acc))],
+                }
+            )
+
+        return sdf.groupBy("shard").applyInPandas(
+            red, "shard long, nonzero bigint"
+        )
+
+    return _swamidass_baldi_sum(shards, "nonzero", shard_config, reduce_counts)
 
 
 def _swamidass_baldi_sum(
-    shards: DataFrame, set_col: str, shard_config: FilterConfig
+    shards: DataFrame,
+    set_col: str,
+    shard_config: FilterConfig,
+    reduce_counts,
 ) -> int:
     """Shared per-shard swamidass-baldi population sum
     (BloomFilter.getEstimatedPopulation, java:285-293) over whichever
     column carries the set-slot count (`ones` for bitsets, `nonzero`
-    for counters).  Only S (shard, count) rows reach the driver."""
+    for counters).  Only S (shard, count) rows reach the driver.
+
+    A non-canonical table (>1 row per shard, e.g. a raw union of
+    builds) cannot be summed per ROW: overlapping slots double-count
+    and the log is nonlinear in the slot count.  Those shards are
+    reduced executor-side first (``reduce_counts``: OR / saturating
+    sum, identical to estimating the merge — the same union==merge
+    contract the cogroup probes keep), and still only (shard, count)
+    rows reach the driver."""
     import math
 
     m, k = shard_config.m, shard_config.k
     rows = shards.select("shard", set_col).collect()
+    ids = [int(r["shard"]) for r in rows]
+    if len(set(ids)) != len(ids):
+        rows = reduce_counts(shards).collect()
     total = 0.0
     for r in rows:
         x = min(int(r[set_col]), m - 1)
@@ -404,7 +429,24 @@ def estimated_population_sharded(shards: DataFrame, shard_config: FilterConfig) 
     baldi estimate from each shard's ones count, summed over shards
     (see :func:`_swamidass_baldi_sum`) — the driver never sees a
     bitset."""
-    return _swamidass_baldi_sum(shards, "ones", shard_config)
+    from .filter import popcount
+
+    def reduce_counts(sdf: DataFrame) -> DataFrame:
+        def red(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = None
+            for buf in pdf["bitset"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                bits = arr.copy() if bits is None else np.bitwise_or(bits, arr)
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "ones": [int(popcount(bits))],
+                }
+            )
+
+        return sdf.groupBy("shard").applyInPandas(red, "shard long, ones bigint")
+
+    return _swamidass_baldi_sum(shards, "ones", shard_config, reduce_counts)
 
 
 def save_sharded(

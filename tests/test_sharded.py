@@ -522,3 +522,77 @@ def test_probes_reduce_non_canonical_multi_row_shards(spark):
     } == {
         int(r["shard"]): bytes(r["counters"]) for r in sub_m.collect()
     }
+
+
+def test_sharded_probes_reject_reserved_column_collisions(spark):
+    """A probe df already carrying out_col, '__key' or '__shard' must
+    raise (shared reserve_probe_cols contract with the fast tier) —
+    the cogroup probes would otherwise silently clobber it."""
+    from bloomspark.sharded import (
+        build_sharded_bloom,
+        build_sharded_counting,
+        with_sharded_estimated_count,
+        with_sharded_membership,
+    )
+
+    bcfg = FilterConfig.complete(n=100, p=0.01)
+    ccfg = FilterConfig.complete(n=100, p=0.01, counting_bits=16)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    bshards = build_sharded_bloom(keys, "k", bcfg, num_shards=4)
+    cshards = build_sharded_counting(keys, "k", ccfg, num_shards=4)
+
+    for bad in ("member", "__key", "__shard"):
+        clash = keys.withColumn(bad, F.lit("x")) if bad != "member" else (
+            keys.withColumn("member", F.lit(True))
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            with_sharded_membership(clash, "k", bshards, bcfg, num_shards=4)
+    with pytest.raises(ValueError, match="reserved"):
+        with_sharded_estimated_count(
+            keys.withColumn("est_count", F.lit(0)), "k", cshards, ccfg,
+            num_shards=4,
+        )
+
+
+def test_population_estimates_reduce_non_canonical_multi_row_shards(spark):
+    """The union==merge contract the probes keep must hold for the
+    population estimators too: a raw union of two OVERLAPPING builds
+    must estimate like the merge (shared keys counted once), not sum
+    per-row estimates (which double-counts every overlapping slot)."""
+    from bloomspark.sharded import (
+        build_sharded_bloom,
+        build_sharded_counting,
+        estimated_population_sharded,
+        estimated_population_sharded_counting,
+        merge_sharded,
+        merge_sharded_counting,
+    )
+
+    S = 8
+    bcfg = FilterConfig.complete(n=200, p=1e-9)
+    ccfg = FilterConfig.complete(n=200, p=1e-9, counting_bits=16)
+
+    def kdf(ks):
+        return spark.createDataFrame([(k,) for k in ks], "k string")
+
+    # 100 shared keys: the buggy per-row sum would read ~350, not ~250
+    a_keys = [f"k{i}" for i in range(150)]
+    b_keys = [f"k{i}" for i in range(100, 250)]
+
+    ba = build_sharded_bloom(kdf(a_keys), "k", bcfg, num_shards=S)
+    bb = build_sharded_bloom(kdf(b_keys), "k", bcfg, num_shards=S)
+    est_union = estimated_population_sharded(ba.unionByName(bb), bcfg)
+    est_merge = estimated_population_sharded(merge_sharded(ba, bb), bcfg)
+    assert est_union == est_merge
+    assert abs(est_union - 250) <= 250 * 0.05
+
+    ca = build_sharded_counting(kdf(a_keys), "k", ccfg, num_shards=S)
+    cb = build_sharded_counting(kdf(b_keys), "k", ccfg, num_shards=S)
+    cest_union = estimated_population_sharded_counting(
+        ca.unionByName(cb), ccfg
+    )
+    cest_merge = estimated_population_sharded_counting(
+        merge_sharded_counting(ca, cb, ccfg), ccfg
+    )
+    assert cest_union == cest_merge
+    assert abs(cest_union - 250) <= 250 * 0.05
