@@ -617,6 +617,23 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed kNN JOIN (simsearch.knn_join_lsh) checked exactly: at
+    planes=1 the hamming-1 multiprobe covers BOTH buckets, so candidate
+    generation is provably total and the operator must reproduce the
+    exact per-left-vector cosine top-5 — the same full-width-identity
+    trick as the ivf_topk oracle.  Recall at production widths (5
+    planes, 6 tables) is measured in tests/test_pipeline.py."""
+    from bloomspark.pipeline import knn_join_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("vec_id") < 8)
+    out = knn_join_lsh(left, emb, k=5, planes=1, tables=1, multiprobe=True)
+    return out.select(
+        "lid", "rid", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, fake-decode path (pipeline/multimodal.py):
     deterministic synthetic media blobs -> mapInPandas feature
@@ -945,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "knn_topk": q_knn_topk,
         "ivf_topk": q_ivf_topk,
+        "knn_join": q_knn_join,
         "multimodal_features": q_multimodal_features,
         "fingerprints": q_fingerprints,
         "events_error_users": q_events_error_users,
@@ -1539,6 +1557,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, round(cos, 6) AS cosine
             FROM scored ORDER BY cos DESC, id ASC LIMIT 10
+        """,
+        "knn_join": """
+            WITH scored AS (
+                SELECT l.vec_id AS lid, r.vec_id AS rid,
+                       list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))) AS cos
+                FROM embeddings l, embeddings r
+                WHERE l.vec_id < 8
+            ),
+            ranked AS (
+                SELECT lid, rid, cos,
+                       row_number() OVER (
+                           PARTITION BY lid ORDER BY cos DESC, rid ASC
+                       ) AS rank
+                FROM scored
+            )
+            SELECT lid, rid, round(cos, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 5
         """,
     }
     code = CODE_TABLE_SQL(_CODE_N)

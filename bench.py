@@ -182,6 +182,25 @@ def bench_queries(spark, sf_dir: str):
         n_docs,
     )
 
+    # cluster resolution (round-6): LSH pairs -> connected components
+    # over 30k synthetic near-dup docs (same generator as the sf1 s6
+    # cell).  Pair generation is persisted OUTSIDE the timer — the cell
+    # guards the min-label-propagation rounds (join+groupBy per round +
+    # the cadenced convergence actions), the new operator of round 5.
+    from bloomspark.pipeline import duplicate_clusters
+
+    cdocs = _synthetic_docs(spark, 30_000, nparts)
+    cpairs = minhash_lsh_pairs(cdocs, id_col="doc_id", text_col="text",
+                               verify_threshold=0.8).persist()
+    cpairs.count()
+    timed(
+        "x19_cluster_resolution",
+        lambda: duplicate_clusters(cpairs).count(),
+        30_000,
+        clear=False,
+    )
+    cpairs.unpersist()
+
     qvec = emb.select("embedding").first()[0]
     timed(
         "q8_knn_bruteforce",

@@ -60,6 +60,12 @@ DRIVER_FILTER_MAX_BYTES = 64 << 20
 #: answer, and skips the driver count() job entirely.
 DEFAULT_EXPECTED_N = 1_000_000
 
+#: Effective-FPP floor above which the driver-mode build warns that the
+#: prune is saturated (it will pass most non-matching rows); the warning
+#: also requires effective FPP > 10x the requested ``p`` so a filter
+#: merely running a little hot stays quiet.
+SATURATION_FPP_WARN = 0.25
+
 _PRUNABLE = {"inner", "left_semi", "leftsemi", "semi"}
 
 
@@ -138,6 +144,25 @@ def bloom_semi_filter(
         )
     if filter_mode == "driver":
         src: Union[DataFrame, object] = build_fast_bloom(small, small_key, config)
+        # saturation signal (round-5 advice): with n_build omitted and a
+        # build side far above the sized n, the filter fills up, the
+        # effective FPP ~ fill^k approaches 1 and the prune silently
+        # becomes pure overhead.  The bitset is already on the driver
+        # here, so the check is one popcount — warn so callers learn to
+        # pass n_build (the answer stays exact either way).
+        fill = src.cardinality() / config.m
+        est_fpp = fill ** config.k
+        if est_fpp > max(10.0 * p, SATURATION_FPP_WARN):
+            import warnings
+
+            warnings.warn(
+                f"bloom_semi_filter: filter sized for n={config.n} is "
+                f"{fill:.0%} full (effective FPP ~{est_fpp:.2f}, target "
+                f"p={p}); the prune will pass most non-matching rows. "
+                "Pass n_build with the build side's true cardinality.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     elif filter_mode == "distributed":
         src = fast_bloom_words(small, small_key, config)
     else:

@@ -21,7 +21,8 @@ from .dedup import (
     unpersist_intermediates,
 )
 from .simsearch import (brute_force_topk, ivf_assign, ivf_topk,
-                        ivf_train_centroids, lsh_bucketed_topk)
+                        ivf_train_centroids, knn_join_bruteforce,
+                        knn_join_lsh, lsh_bucketed_topk)
 from .text import (
     with_language_id,
     with_quality,
@@ -45,6 +46,8 @@ __all__ = [
     "ivf_train_centroids",
     "ivf_assign",
     "ivf_topk",
+    "knn_join_bruteforce",
+    "knn_join_lsh",
     "with_language_id",
     "with_quality",
     "with_token_counts",

@@ -384,6 +384,7 @@ def duplicate_clusters(
     id_b: str = "id_b",
     *,
     max_iterations: int = 25,
+    convergence_check_every: int = 2,
 ) -> DataFrame:
     """Group near-duplicate PAIRS into CLUSTERS -> (id, cluster_id),
     where cluster_id is the minimum member id of each connected
@@ -401,7 +402,12 @@ def duplicate_clusters(
     where an all-pairs or driver-side union-find cannot exist.  Each
     round localCheckpoints the label table: lineage stays one round
     deep instead of compounding joins, and the convergence check rides
-    the same materialization.  Raises if ``max_iterations`` rounds did
+    the same materialization.  The changed-count is a driver action per
+    check, so it runs every ``convergence_check_every`` rounds (default
+    2 — propagating once more over converged labels is a no-op, so the
+    only cost of a sparser cadence is up to check_every-1 extra no-op
+    rounds, against half the driver job count on deep graphs; set 1 to
+    check every round).  Raises if ``max_iterations`` rounds did
     not converge (a pair graph with a 25-hop path is not a dup cluster
     — that means the threshold upstream is far too loose).
 
@@ -422,7 +428,9 @@ def duplicate_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iterations):
+    if convergence_check_every < 1:
+        raise ValueError("convergence_check_every must be >= 1")
+    for rnd in range(1, max_iterations + 1):
         nbr = edges.join(
             labels.select(
                 F.col("id").alias("dst"), F.col("label").alias("nlabel")
@@ -435,16 +443,22 @@ def duplicate_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("old")), "id"
+        # compare to the immediately-previous round's labels, but only on
+        # the cadence (plus the last permitted round, so the guard below
+        # never fires on an unchecked convergence)
+        if rnd % convergence_check_every == 0 or rnd == max_iterations:
+            changed = (
+                new_labels.join(
+                    labels.select("id", F.col("label").alias("old")), "id"
+                )
+                .where(F.col("label") != F.col("old"))
+                .count()
             )
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
+            if changed == 0:
+                return new_labels.select(
+                    "id", F.col("label").alias("cluster_id")
+                )
         labels = new_labels
-        if changed == 0:
-            return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_iterations} rounds: "
         "the pair graph has very long paths — tighten the upstream "

@@ -260,8 +260,8 @@ def knn_join_bruteforce(
 ) -> DataFrame:
     """For every left vector, its k nearest right vectors (exact).
 
-    Cross join + window rank — the exact kernel; at scale, bucket both
-    sides first (lsh) and run this within buckets.
+    Cross join + window rank — the exact kernel; at scale use
+    :func:`knn_join_lsh`, which runs this shape within LSH buckets.
     Returns (left_id, right_id, cosine, rank).
     """
     from pyspark.sql.window import Window
@@ -278,4 +278,94 @@ def knn_join_bruteforce(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("lid"), F.col("rid"), "cosine", "rank")
+    )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    *,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 11,
+    tables: int = 2,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate kNN join: for every left vector, its k nearest right
+    vectors AMONG LSH CANDIDATES — the scale-safe composition the
+    :func:`knn_join_bruteforce` docstring prescribes, shipped as an
+    operator (round-5 verdict item 6).
+
+    Candidate generation is ``tables`` independent random-hyperplane
+    bucketings (one vectorized matmul column each, all in ONE scan per
+    side).  Per table the pair (l, r) is a candidate when l's bucket —
+    or, with ``multiprobe``, any hamming-1 neighbor of it — equals r's
+    bucket: the left side explodes into 1+planes probe buckets, then an
+    ordinary EQUI-join on the bucket value (shuffle-partitioned by
+    bucket; never a cross join — plan-pinned in tests/test_plans.py).
+    Candidates are scored with the codegen cosine kernel, deduped on
+    (lid, rid) across tables/probes, and window-ranked per lid.
+
+    Recall rises with ``tables`` (OR-amplification: miss probability
+    multiplies per table) and with ``multiprobe``; cost is ~2^-planes
+    of the cross join per (table x probe).  At 100 TB the bucket
+    columns are precomputed cluster keys, so each table's join prunes
+    to co-partitioned buckets instead of shuffling raw vectors T times.
+
+    Returns (left_id, right_id, cosine, rank) — brute-force schema;
+    lids with fewer than k candidates return fewer rows, lids whose
+    probes all miss return none (the approximate trade).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import _hyperplane_bucket_expr
+
+    if tables < 1:
+        raise ValueError("tables must be >= 1")
+    l = left.select(
+        F.col(left_id).alias("lid"),
+        F.col(vec_col).cast("array<double>").alias("lv"),
+        *[
+            _hyperplane_bucket_expr(vec_col, planes, seed + t, left).alias(f"b{t}")
+            for t in range(tables)
+        ],
+    )
+    r = right.select(
+        F.col(right_id).alias("rid"),
+        F.col(vec_col).cast("array<double>").alias("rv"),
+        *[
+            _hyperplane_bucket_expr(vec_col, planes, seed + t, right).alias(f"b{t}")
+            for t in range(tables)
+        ],
+    )
+    scored = None
+    for t in range(tables):
+        lb = F.col(f"b{t}")
+        if multiprobe:
+            probes = F.explode(
+                F.array(lb, *[lb.bitwiseXOR(F.lit(1 << b)) for b in range(planes)])
+            )
+        else:
+            probes = lb
+        lprobe = l.select("lid", "lv", probes.alias("bucket"))
+        rside = r.select("rid", "rv", F.col(f"b{t}").alias("bucket"))
+        # score INSIDE the per-table join so the union and the dedup
+        # carry (lid, rid, cosine) scalars, never the vectors
+        part = lprobe.join(rside, "bucket").select(
+            "lid",
+            "rid",
+            _cosine_expr(F.col("lv"), F.col("rv")).alias("cosine"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    # a pair can surface once per (table x probe); cosine is a pure
+    # function of the pair, so keeping any one row is exact
+    scored = scored.dropDuplicates(["lid", "rid"])
+    w = Window.partitionBy("lid").orderBy(F.desc("cosine"), F.asc("rid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("lid", "rid", "cosine", "rank")
     )

@@ -135,6 +135,10 @@ def with_sharded_membership(
     )
 
 
+# ``rows`` is TOTAL EVER INSERTED into the shard (adds only — never
+# decremented by subtract_sharded_counting, whose removes don't carry a
+# reliable live count once subtraction floors at 0); use
+# estimated_population_sharded_counting for the live-population number.
 COUNTING_SHARDS_SCHEMA = "shard long, rows bigint, nonzero bigint, counters binary"
 
 
@@ -294,7 +298,14 @@ def subtract_sharded_counting(
     in ``removes`` vanish (nothing to subtract from); shards present
     only in ``adds`` pass through untouched.  Non-canonical inputs
     (multiple rows per shard, e.g. a raw union of builds) are summed
-    per side first — identical to pre-merging them."""
+    per side first — identical to pre-merging them.
+
+    The output's ``rows`` is the adds side's total-ever-inserted,
+    deliberately NOT reduced by the removes (the schema contract —
+    see :data:`COUNTING_SHARDS_SCHEMA`): after saturation/flooring the
+    removes' row count is not a reliable live-population delta, so
+    ``rows`` stays monotone and the live estimate comes from
+    :func:`estimated_population_sharded_counting`."""
     add_side = adds.select("shard", "rows", "nonzero", "counters")
     rem_side = removes.select(F.col("shard").alias("shard"), "counters")
 
@@ -369,10 +380,17 @@ def _swamidass_baldi_sum(
     import math
 
     m, k = shard_config.m, shard_config.k
-    rows = shards.select("shard", set_col).collect()
-    ids = [int(r["shard"]) for r in rows]
-    if len(set(ids)) != len(ids):
-        rows = reduce_counts(shards).collect()
+    # canonical-ness first, via a cheap aggregate that reads ONLY the
+    # shard column (never bitsets/counters) — so a non-canonical table
+    # costs one tiny count job, not a discarded full collect
+    probe = shards.agg(
+        F.count("shard").alias("n"),
+        F.count_distinct("shard").alias("d"),
+    ).collect()[0]
+    canonical = int(probe["n"]) == int(probe["d"])
+    rows = (
+        shards.select("shard", set_col) if canonical else reduce_counts(shards)
+    ).collect()
     total = 0.0
     for r in rows:
         x = min(int(r[set_col]), m - 1)

@@ -452,12 +452,48 @@ def streaming_bloom_build(
     return writer.start()
 
 
+def _write_batch_output(
+    new_rows: DataFrame, output_dir: str, batch_id: int, exactly_once: bool
+) -> None:
+    """Persist a micro-batch's surviving rows.
+
+    ``exactly_once=False`` (default): plain ``mode("append")`` — an
+    at-least-once replay of a crashed batch may re-append its rows.
+
+    ``exactly_once=True``: idempotent sink — each batch writes to its
+    own ``output_dir/batch_id=<N>`` partition dir and a REPLAY of a
+    batch whose dir already carries parquet's ``_SUCCESS`` marker
+    writes NOTHING (mirroring the never-reused version-dir discipline
+    of the sharded state).  A crash mid-write leaves no ``_SUCCESS``,
+    so the replay's ``mode("overwrite")`` of that one dir repairs it;
+    a crash after the write (before Spark's offset commit) is skipped
+    whole.  Readers see a ``batch_id`` partition column (standard
+    partition discovery).  Existence is checked through the Hadoop
+    filesystem layer, so a remote (hdfs://, s3a://) output_dir works
+    — on S3-like stores without atomic dir semantics pair this with a
+    committer that makes ``_SUCCESS`` authoritative."""
+    if not exactly_once:
+        new_rows.write.mode("append").parquet(output_dir)
+        return
+    from .sharded import _hadoop_fs_and_path
+
+    batch_dir = output_dir.rstrip("/") + f"/batch_id={batch_id}"
+    fs, marker = _hadoop_fs_and_path(
+        new_rows.sparkSession, batch_dir, "_SUCCESS"
+    )
+    if fs.exists(marker):
+        return
+    new_rows.write.mode("overwrite").parquet(batch_dir)
+
+
 def _make_dedup_batch_processor(
     col: str,
     config: FilterConfig,
     checkpoint_dir: str,
     output_dir: str,
     rotate_at_population: Optional[int] = None,
+    *,
+    exactly_once_output: bool = False,
 ):
     """The foreachBatch body of :func:`streaming_dedup`, factored out so
     rotation/suppression semantics are unit-testable with plain batch
@@ -508,7 +544,7 @@ def _make_dedup_batch_processor(
             new_rows = batch_df
         # persist the survivors once, then hash exactly those rows
         new_rows = new_rows.localCheckpoint(eager=True)
-        new_rows.write.mode("append").parquet(output_dir)
+        _write_batch_output(new_rows, output_dir, batch_id, exactly_once_output)
         bf = (
             build_fast_bloom(new_rows, col, config)
             if fast
@@ -544,6 +580,7 @@ def _make_sharded_dedup_batch_processor(
     salt_partitions: int = 4,
     rotate_at_population: Optional[int] = None,
     max_gen_dirs: int = 16,
+    exactly_once_output: bool = False,
 ):
     """The foreachBatch body of :func:`streaming_dedup_sharded`: the
     streaming dedup recipe with the SEEN-state as a SHARDED filter
@@ -552,8 +589,11 @@ def _make_sharded_dedup_batch_processor(
     (10^12 keys need ~TB of bits; the driver path caps at one filter).
 
     State layout under ``checkpoint_dir`` (must be a DRIVER-LOCAL
-    path — the state/generation bookkeeping uses local filesystem ops;
-    a ``hdfs://``/``s3a://`` URI is rejected up front):
+    path — the state/generation bookkeeping uses local filesystem ops,
+    and the per-version shard parquet lives under it too, so on a real
+    cluster it must be a filesystem the driver and executors share;
+    a ``hdfs://``/``s3a://`` URI is rejected up front, ``file://`` is
+    accepted and stripped):
 
     - ``state.json``: {"cur": <manifest or null>, "prev": ...} where a
       manifest is ``{"shard_dirs": {"<shard>": "<version dir>"}}`` —
@@ -589,13 +629,20 @@ def _make_sharded_dedup_batch_processor(
         with_sharded_membership,
     )
 
+    # file:// is driver-local under a scheme — accept it by stripping to
+    # its path; every OTHER scheme (hdfs://, s3a://, ...) is rejected
+    if checkpoint_dir.startswith("file://"):
+        checkpoint_dir = checkpoint_dir[len("file://"):]
     if "://" in checkpoint_dir:
         raise ValueError(
             "streaming_dedup_sharded checkpoint_dir must be a driver-local "
-            f"path (got {checkpoint_dir!r}): state.json and generation "
-            "bookkeeping use local filesystem operations. The output_dir "
-            "and the per-version shard parquet MAY live on any Hadoop "
-            "filesystem; only the state pointer is driver-local."
+            f"path (got {checkpoint_dir!r}): state.json, the generation "
+            "bookkeeping AND the per-version shard parquet (gen_v*/) all "
+            "live under it via local filesystem operations.  Only "
+            "output_dir may live on a remote Hadoop filesystem.  In a "
+            "real cluster, point checkpoint_dir at a filesystem the "
+            "driver AND executors share (NFS/fuse mount), since "
+            "spark.read.parquet of the gen dirs runs on executors."
         )
 
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -706,12 +753,24 @@ def _make_sharded_dedup_batch_processor(
                 }
         batch_df = batch_df.dropDuplicates([col])
         new_rows = batch_df
-        for gen in (state["cur"], state["prev"]):
-            if gen is None:
-                continue
-            shards = _load_gen(spark, gen)
-            if shards is None:
-                continue
+        # probe cur+prev in ONE cogroup pass: a key is seen iff it is a
+        # member of the UNION of the two generations, and the cogroup
+        # probe already ORs multiple rows per shard (sharded.py), so
+        # unioning the shard tables is byte-identical to probing each
+        # generation separately — but the batch shuffles once, not twice
+        gen_tables = [
+            t
+            for t in (
+                _load_gen(spark, gen)
+                for gen in (state["cur"], state["prev"])
+                if gen is not None
+            )
+            if t is not None
+        ]
+        if gen_tables:
+            shards = gen_tables[0]
+            for t in gen_tables[1:]:
+                shards = shards.unionByName(t)
             mcol = "__dedup_member"
             new_rows = (
                 with_sharded_membership(
@@ -722,7 +781,7 @@ def _make_sharded_dedup_batch_processor(
                 .drop(mcol)
             )
         new_rows = new_rows.localCheckpoint(eager=True)
-        new_rows.write.mode("append").parquet(output_dir)
+        _write_batch_output(new_rows, output_dir, batch_id, exactly_once_output)
         built = build_sharded_bloom(
             new_rows, col, shard_config,
             num_shards=num_shards, salt_partitions=salt_partitions,
@@ -804,6 +863,7 @@ def streaming_dedup_sharded(
     salt_partitions: int = 4,
     rotate_at_population: Optional[int] = None,
     max_gen_dirs: int = 16,
+    exactly_once_output: bool = False,
     query_name: str = "bloomspark-stream-dedup-sharded",
     trigger: Optional[dict] = None,
 ):
@@ -835,6 +895,7 @@ def streaming_dedup_sharded(
         num_shards=num_shards, salt_partitions=salt_partitions,
         rotate_at_population=rotate_at_population,
         max_gen_dirs=max_gen_dirs,
+        exactly_once_output=exactly_once_output,
     )
     writer = (
         stream_df.writeStream.queryName(query_name)
@@ -855,6 +916,7 @@ def streaming_dedup(
     output_dir: str,
     *,
     rotate_at_population: Optional[int] = None,
+    exactly_once_output: bool = False,
     query_name: str = "bloomspark-stream-dedup",
     trigger: Optional[dict] = None,
 ):
@@ -879,6 +941,11 @@ def streaming_dedup(
     batch's rows (no loss) — the same trade every idempotent-sink
     foreachBatch pipeline makes; state is m/8 bytes forever, where
     ``dropDuplicates`` without a watermark grows without bound.
+    ``exactly_once_output=True`` upgrades the sink to exactly-once:
+    each batch writes its own ``output_dir/batch_id=N`` partition dir
+    and a replay of an already-committed batch writes nothing (see
+    :func:`_write_batch_output`; readers gain a ``batch_id`` partition
+    column).
 
     **Infinite streams**: a single filter saturates as distinct keys
     pass ``config.n`` (FPP climbs toward 1 and everything is dropped).
@@ -896,7 +963,8 @@ def streaming_dedup(
     composed with Structured Streaming.
     """
     process_batch = _make_dedup_batch_processor(
-        col, config, checkpoint_dir, output_dir, rotate_at_population
+        col, config, checkpoint_dir, output_dir, rotate_at_population,
+        exactly_once_output=exactly_once_output,
     )
 
     writer = (

@@ -202,3 +202,21 @@ def test_prune_join_plan_construction_launches_no_jobs(spark):
     # the deferred plans still compute correctly when acted on
     assert plan.count() == 100
     assert probed.where("member").count() == 5000
+
+
+def test_semi_filter_warns_on_saturated_filter(spark):
+    """ADVICE r5: a build side far above the sized n saturates the
+    filter and the prune becomes pure overhead — the driver-mode build
+    must emit a RuntimeWarning (the answer stays exact regardless); a
+    correctly-sized filter stays quiet."""
+    import warnings
+
+    big = spark.range(100).select(F.col("id").alias("key"))
+    small = spark.range(5000).select(F.col("id").alias("key"))
+    with pytest.warns(RuntimeWarning, match="Pass n_build"):
+        out = bloom_semi_filter(big, "key", small, n_build=10, p=0.01)
+    # conservative superset still holds on the saturated filter
+    assert out.count() == 100
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        bloom_semi_filter(big, "key", small, n_build=5000, p=0.01).count()

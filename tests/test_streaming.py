@@ -939,3 +939,125 @@ def test_sharded_dedup_migrates_pre_round5_state(spark, tmp_path):
     assert emitted == ["fresh"], "legacy state was not honored"
     state = json.load(open(os.path.join(ck, "state.json")))
     assert isinstance(state["cur"], dict) and "shard_dirs" in state["cur"]
+
+
+def test_streaming_dedup_exactly_once_output(spark, tmp_path):
+    """Round-5 verdict item 4: with exactly_once_output=True the sink
+    becomes idempotent — each batch owns output_dir/batch_id=N and a
+    crash-window replay (output committed, filter store lost) writes
+    ZERO duplicate rows end-to-end, closing the at-least-once gap the
+    plain append sink documents."""
+    from bloomspark.streaming import _make_dedup_batch_processor
+
+    cfg = FilterConfig.complete(n=1000, p=1e-9, hash_method="XXHash64KM")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    pb = _make_dedup_batch_processor(
+        "key", cfg, ck, out, exactly_once_output=True
+    )
+    keys = [f"k{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def emitted():
+        return sorted(r["key"] for r in spark.read.parquet(out).collect())
+
+    pb(df, 0)
+    assert emitted() == sorted(keys)
+    # the crash window that forces a duplicate under the append sink
+    # (test_streaming_dedup_replay_at_least_once_bound): output
+    # committed, filter store lost, batch replayed
+    os.remove(os.path.join(ck, "bitset.bin"))
+    pb(df, 0)
+    assert emitted() == sorted(keys), "exactly-once sink re-emitted"
+    # replay after a completed store: still no duplicates, no loss
+    pb(df, 0)
+    assert emitted() == sorted(keys)
+    # output is batch_id-partitioned; later batches land in their own dir
+    pb(spark.createDataFrame([("new1",)], "key string"), 1)
+    got = spark.read.parquet(out)
+    assert sorted(r["key"] for r in got.collect()) == sorted(keys + ["new1"])
+    assert {r["batch_id"] for r in got.select("batch_id").collect()} == {0, 1}
+
+
+def test_sharded_streaming_dedup_exactly_once_output(spark, tmp_path):
+    """The sharded tier honors the same exactly-once sink: a replay of
+    batch N after its state commit (the committed-gen replay window)
+    writes nothing to output."""
+    from bloomspark.streaming import _make_sharded_dedup_batch_processor
+
+    shard_cfg = FilterConfig.complete(n=200, p=1e-9, hash_method="XXHash64KM")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    sh = _make_sharded_dedup_batch_processor(
+        "key", shard_cfg, ck, out, num_shards=8, exactly_once_output=True
+    )
+    keys = [f"k{i}" for i in range(100)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    sh(df, 0)
+    first = sorted(r["key"] for r in spark.read.parquet(out).collect())
+    assert first == sorted(keys)
+    sh(df, 0)  # replay
+    assert sorted(r["key"] for r in spark.read.parquet(out).collect()) == first
+
+
+def test_sharded_dedup_probes_generations_in_one_pass(spark, tmp_path):
+    """Round-5 verdict item 1: after a rotation (cur AND prev both
+    live) a batch must probe the UNION of both generations' shard
+    tables in ONE with_sharded_membership pass — one cogroup shuffle of
+    the batch — not one sequential pass per generation; and suppression
+    must stay exact across both generations."""
+    import bloomspark.sharded as sharded_mod
+    from bloomspark.streaming import _make_sharded_dedup_batch_processor
+
+    calls = []
+    real = sharded_mod.with_sharded_membership
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    orig = sharded_mod.with_sharded_membership
+    sharded_mod.with_sharded_membership = counting
+    try:
+        shard_cfg = FilterConfig.complete(
+            n=100, p=1e-9, hash_method="XXHash64KM"
+        )
+        ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+        sh = _make_sharded_dedup_batch_processor(
+            "key", shard_cfg, ck, out, num_shards=4,
+            rotate_at_population=20,
+        )
+
+        def batch(keys):
+            return spark.createDataFrame([(k,) for k in keys], "key string")
+
+        a = [f"a{i}" for i in range(30)]  # rotates cur -> prev
+        b = [f"b{i}" for i in range(10)]
+        sh(batch(a), 0)
+        import json
+        state = json.load(open(os.path.join(ck, "state.json")))
+        assert state["prev"] is not None, "rotation must have happened"
+        calls.clear()
+        sh(batch(a + b), 1)  # both generations live: exactly ONE probe
+        assert calls == [1], f"expected one probe pass, saw {len(calls)}"
+        emitted = sorted(r["key"] for r in spark.read.parquet(out).collect())
+        assert emitted == sorted(a + b)  # prev still suppresses a*
+    finally:
+        sharded_mod.with_sharded_membership = orig
+
+
+def test_sharded_checkpoint_accepts_file_scheme(spark, tmp_path):
+    """ADVICE r5: file:// is driver-local under a scheme — accepted and
+    stripped; genuinely remote schemes still rejected up front."""
+    from bloomspark.streaming import _make_sharded_dedup_batch_processor
+
+    shard_cfg = FilterConfig.complete(n=100, p=1e-9, hash_method="XXHash64KM")
+    ck = tmp_path / "ck"
+    sh = _make_sharded_dedup_batch_processor(
+        "key", shard_cfg, f"file://{ck}", str(tmp_path / "out"), num_shards=4
+    )
+    df = spark.createDataFrame([("x",), ("y",)], "key string")
+    sh(df, 0)
+    assert os.path.exists(os.path.join(str(ck), "state.json"))
+    with pytest.raises(ValueError, match="driver-local"):
+        _make_sharded_dedup_batch_processor(
+            "key", shard_cfg, "hdfs://nn/ck", str(tmp_path / "out2")
+        )
