@@ -208,6 +208,20 @@ def bench_queries(spark, sf_dir: str):
         emb.count(),
     )
 
+    # bucketed kNN join (round-6): the scale-safe LSH composition as an
+    # operator — per-table equi-join on hyperplane buckets, codegen
+    # cosine inside the join, window rank.  Self-join of the embeddings
+    # table (every vector's 5 approximate neighbors); no cartesian
+    # (plan-pinned in tests/test_plans.py).
+    from bloomspark.pipeline import knn_join_lsh
+
+    n_emb = emb.count()
+    timed(
+        "x20_knn_join_lsh",
+        lambda: knn_join_lsh(emb, emb, k=5, planes=10, tables=2).count(),
+        n_emb,
+    )
+
     # sketch tier over the north-rule source-code table shape: 2M
     # synthesized (repo, path, commit, lang, content) rows, HLL on the
     # content sha, t-digest quantiles on lineitem prices
@@ -682,6 +696,10 @@ def main():
         "sf": sf,
         "best_of": BEST_OF,
         "build_rows_per_sec": round(build_rows / build_sec, 1),
+        # the full-suite total including the x-prefixed tier cells; once
+        # x17/x18 carry two rounds of history (after round 6) the
+        # headline `value` promotes to this sum (BASELINE.md round-6)
+        "total_incl_x": round(sum(queries.values()), 4),
     }
 
     run_sf1 = os.environ.get("BLOOMSPARK_BENCH_SF1", "1") != "0"
