@@ -804,6 +804,30 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded bloom-pruned exact join (join.py, round-6): the
+    both-sides-huge regime where the build side's filter is too big to
+    collect or broadcast — lineitem is pruned against a SHARDED
+    (never-collected) filter of the urgent orders' keys via one cogroup
+    co-partition, then the ordinary exact join removes false positives,
+    so the result is identical to the plain join and the DuckDB oracle
+    is just that join."""
+    from bloomspark.join import sharded_prune_join
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    joined = sharded_prune_join(
+        lineitem, urgent, ("l_orderkey", "o_orderkey"), p=0.01, num_shards=16
+    )
+    # price sums carry ~1e-6 of summation-order float error; a whole-
+    # dollar BIGINT is deterministic across Spark/DuckDB partial orders
+    return joined.groupBy("l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 0).cast("long").alias("sum_price"),
+        F.count("*").alias("cnt"),
+    )
+
+
 def q_sharded_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The never-collected filter tier (sharded.py): lineitem orderkeys
     sharded into 16 independent bitsets (the TB-scale shape where no
@@ -976,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_extended_counts": q_fast_extended_counts,
         "fast_counts_remove": q_fast_counts_remove,
         "bloom_prune_join": q_bloom_prune_join,
+        "sharded_prune_join": q_sharded_prune_join,
         "expiring_known": q_expiring_known,
     }
 
@@ -1487,6 +1512,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY l_returnflag
+        """,
+        "sharded_prune_join": """
+            SELECT l_linestatus,
+                   CAST(ROUND(SUM(l_extendedprice), 0) AS BIGINT) AS sum_price,
+                   COUNT(*) AS cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_linestatus
         """,
         "grouped_counts": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

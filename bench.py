@@ -376,6 +376,25 @@ def bench_queries(spark, sf_dir: str):
         n_li,
     )
 
+    # sharded bloom-pruned join (join.py, round 6): the both-sides-huge
+    # regime — the build-side filter stays a never-collected (shard,
+    # bitset) DataFrame, lineitem co-partitions with it on the shard id
+    # in one cogroup, then the ordinary exact join removes false
+    # positives.  x-prefixed until it carries two rounds of history.
+    from bloomspark.join import sharded_prune_join
+
+    timed(
+        "x21_sharded_prune_join",
+        lambda: sharded_prune_join(
+            lineitem.repartition(nparts),
+            urgent,
+            ("l_orderkey", "o_orderkey"),
+            n_build=n_urgent,
+            num_shards=16,
+        ).count(),
+        n_li,
+    )
+
     return results
 
 

@@ -67,7 +67,8 @@ from .fast import (
     words_from_bloom,
     words_to_blocks,
 )
-from .join import bloom_prune_join, bloom_semi_filter
+from .join import (bloom_prune_join, bloom_semi_filter,
+                   sharded_prune_join, sharded_semi_filter)
 from .sources import read_table, source_code_table
 
 __all__ = [
@@ -116,6 +117,8 @@ __all__ = [
     "with_fast_estimated_count",
     "bloom_prune_join",
     "bloom_semi_filter",
+    "sharded_prune_join",
+    "sharded_semi_filter",
     "source_code_table",
     "read_table",
     "FilterConfig",

@@ -236,3 +236,119 @@ def bloom_prune_join(
     if same_name:
         return pruned.join(small, on=big_key, how=how)
     return pruned.join(small, on=pruned[big_key] == small[small_key], how=how)
+
+
+def sharded_semi_filter(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: Optional[str] = None,
+    *,
+    p: float = 0.01,
+    n_build: Optional[int] = None,
+    num_shards: int = 64,
+    shard_config: Optional[FilterConfig] = None,
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """Approximate semi-join through the SHARDED filter tier: the rows
+    of ``big`` whose ``big_key`` *may* appear in ``small[small_key]``,
+    with the filter living as a distributed (shard, bitset) DataFrame
+    that is never collected or broadcast.
+
+    This is the prune for the regime where :func:`bloom_semi_filter`
+    stops working: past ~10^10 build keys the optimal bitset is tens of
+    GB — too big to collect to the driver, too big to broadcast, and
+    past 2^46 bits beyond extended-m entirely.  The sharded form sizes
+    ``num_shards`` independent bitsets for n/``num_shards`` keys each
+    and probes by co-partitioning (sharded.py): both sides shuffle once
+    on the shard id, each bitset crosses the wire once per job.  The
+    trade vs the fast tier is one shuffle of ``big`` (by shard id) —
+    at 100 TB that is still far cheaper than shuffling ``big`` into an
+    unpruned join, because the probe output (the only thing the join
+    then shuffles BY KEY) shrinks by the non-matching fraction.
+
+    Same conservative contract as the fast tier: a guaranteed superset
+    of the exact semi-join, overshooting by at most a ``p`` fraction of
+    non-matching rows when the filter is sized for the true build
+    cardinality.  As in :func:`bloom_semi_filter`, ``n_build`` (or an
+    explicit per-shard ``shard_config``) skips the ``small.count()``
+    job; without either the count runs once because the FPP bound IS
+    this function's contract.
+    """
+    from .sharded import build_sharded_bloom, with_sharded_membership
+
+    small_key = small_key if small_key is not None else big_key
+    if shard_config is None:
+        n = n_build if n_build is not None else small.count()
+        shard_config = FilterConfig.complete(
+            n=max(int(n) // num_shards, 1), p=p, hash_method=FAST_HASH_METHOD
+        )
+    shards = build_sharded_bloom(
+        small.select(small_key),
+        small_key,
+        shard_config,
+        num_shards=num_shards,
+        salt_partitions=salt_partitions,
+    )
+    out_col = "__sharded_prune_member"
+    pruned = with_sharded_membership(
+        big, big_key, shards, shard_config, num_shards=num_shards, out_col=out_col
+    )
+    return pruned.where(F.col(out_col)).drop(out_col)
+
+
+def sharded_prune_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Union[str, Tuple[str, str], Sequence[str]],
+    *,
+    how: str = "inner",
+    p: float = 0.01,
+    n_build: Optional[int] = None,
+    num_shards: int = 64,
+    shard_config: Optional[FilterConfig] = None,
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """Exact ``big.join(small, on, how)`` with the big side pruned by a
+    SHARDED (never-collected) Bloom filter of the build side's keys —
+    the :func:`bloom_prune_join` for joins where BOTH sides are huge.
+
+    When the build side has ~10^10+ distinct keys its filter is tens of
+    GB and the fast tier's broadcast probe stops existing; here the
+    filter stays a (shard, bitset) DataFrame and the probe co-partitions
+    ``big`` with it on the shard id (one shuffle of ``big``, each
+    bitset moving once per job — sharded.py).  The prune remains
+    conservative, so following it with the ordinary exact join returns
+    exactly the unpruned join's rows; false positives only cost wasted
+    shuffle in the final join, never a wrong answer — the same
+    oracle-checkable contract as :func:`bloom_prune_join`.
+
+    Sizing mirrors :func:`bloom_prune_join`: with neither ``n_build``
+    nor ``shard_config`` the per-shard filters are sized for
+    :data:`DEFAULT_EXPECTED_N` total keys, so plan construction
+    launches NO driver job; mis-sizing moves the prune's FPP
+    (performance), never the answer.  ``how`` must be inner/left_semi,
+    as in :func:`bloom_prune_join` (pruning would change any other
+    join's answer).
+    """
+    if how not in _PRUNABLE:
+        raise ValueError(
+            f"how={how!r} cannot be bloom-pruned: only inner/left_semi "
+            "joins may drop non-matching big-side rows before joining"
+        )
+    big_key, small_key, same_name = _resolve_keys(on)
+    pruned = sharded_semi_filter(
+        big,
+        big_key,
+        small,
+        small_key,
+        p=p,
+        n_build=n_build if n_build is not None else DEFAULT_EXPECTED_N,
+        num_shards=num_shards,
+        shard_config=shard_config,
+        salt_partitions=salt_partitions,
+    )
+    how = "left_semi" if how in {"leftsemi", "semi"} else how
+    if same_name:
+        return pruned.join(small, on=big_key, how=how)
+    return pruned.join(small, on=pruned[big_key] == small[small_key], how=how)

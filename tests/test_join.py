@@ -220,3 +220,83 @@ def test_semi_filter_warns_on_saturated_filter(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         bloom_semi_filter(big, "key", small, n_build=5000, p=0.01).count()
+
+
+# --- sharded prune join: both sides huge, filter never collected ------
+
+
+def test_sharded_prune_join_equals_plain_join(lineitem, urgent):
+    from bloomspark.join import sharded_prune_join
+
+    pruned = sharded_prune_join(
+        lineitem, urgent, ("l_orderkey", "o_orderkey"), p=0.01,
+        num_shards=8, n_build=2000,
+    ).select("l_orderkey", "l_quantity", "o_orderpriority")
+    plain = lineitem.join(
+        urgent, lineitem["l_orderkey"] == urgent["o_orderkey"]
+    ).select("l_orderkey", "l_quantity", "o_orderpriority")
+    assert _rows(pruned) == _rows(plain)
+
+
+def test_sharded_prune_join_same_name_and_semi(spark):
+    from bloomspark.join import sharded_prune_join
+
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(2000)], "key long, val string"
+    )
+    small = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(0, 2000, 13)], "key long, tag string"
+    )
+    out = sharded_prune_join(big, small, "key", num_shards=4, n_build=160)
+    assert out.columns == ["key", "val", "tag"]
+    assert _rows(out) == _rows(big.join(small, on="key"))
+    semi = sharded_prune_join(
+        big, small, "key", how="left_semi", num_shards=4, n_build=160
+    )
+    assert _rows(semi) == _rows(big.join(small, "key", "left_semi"))
+    with pytest.raises(ValueError, match="cannot be bloom-pruned"):
+        sharded_prune_join(big, small, "key", how="left_outer")
+
+
+def test_sharded_semi_filter_conservative_superset(spark):
+    from bloomspark.join import sharded_semi_filter
+
+    big = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(5000)], "key string, v int"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 5000, 50)], "key string"
+    )
+    kept = sharded_semi_filter(
+        big, "key", small, p=0.01, num_shards=4, n_build=100
+    )
+    kept_keys = {r["key"] for r in kept.select("key").collect()}
+    true_keys = {f"k{i}" for i in range(0, 5000, 50)}
+    assert true_keys <= kept_keys  # no false negatives, ever
+    assert len(kept_keys - true_keys) <= 0.05 * 4900
+
+
+def test_sharded_prune_plan_cogroups_no_cartesian(spark):
+    """The probe is ONE cogroup (both sides shuffle once on the shard
+    id) feeding the exact join — never a cartesian, never a per-row
+    bitset column; and plan construction with n_build launches zero
+    driver jobs (DEFAULT_EXPECTED_N path when omitted)."""
+    from bloomspark.join import sharded_prune_join
+
+    big = spark.range(0, 5000).selectExpr("id AS key", "id * 2 AS v")
+    small = spark.range(0, 100).selectExpr("id AS key")
+    sc = spark.sparkContext
+    sc.setJobGroup("sharded-plan-only", "plan construction must be lazy")
+    try:
+        out = sharded_prune_join(big, small, "key", num_shards=4)
+        assert list(
+            sc.statusTracker().getJobIdsForGroup("sharded-plan-only")
+        ) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 100
