@@ -295,6 +295,33 @@ def q_code_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("repo", "path", "commit", F.sha2("content", 256).alias("sha"))
 
 
+def q_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (KMV bottom-k) sketch set-operation cardinalities
+    (sketches/theta.py, round-6): distinct custkeys holding open ('O')
+    vs finished ('F') orders, plus their intersection / union /
+    difference — the set algebra HLL cannot express.  With k=2^15
+    above the true cardinalities theta never drops, every distinct
+    hash is retained, and all five estimates are EXACT, so the oracle
+    is plain SQL set algebra (estimation-mode error bounds are pinned
+    in tests/test_sketches.py)."""
+    from bloomspark.sketches import ThetaSketch, build_sketch
+
+    orders = _read(spark, sf_dir, "orders")
+    th = ThetaSketch(k=1 << 15)
+    open_keys = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    final_keys = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    a = build_sketch(open_keys.repartition(8), "o_custkey", th)
+    b = build_sketch(final_keys.repartition(8), "o_custkey", th)
+    rows = [
+        ("open", int(round(a.estimate()))),
+        ("final", int(round(b.estimate()))),
+        ("open_and_final", int(round(th.estimate(th.intersect(a.state, b.state))))),
+        ("open_or_final", int(round(th.estimate(th.merge_states(a.state, b.state))))),
+        ("open_not_final", int(round(th.estimate(th.a_not_b(a.state, b.state))))),
+    ]
+    return spark.createDataFrame(rows, "set_op string, distinct_custkeys bigint")
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL count-distinct over the code table's content shas: estimate
     within 3 standard errors (1.04/sqrt(2^14)) of exact."""
@@ -970,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha_invariant": q_sha_invariant,
         "code_sha_invariant": q_code_sha_invariant,
         "hll_distinct": q_hll_distinct,
+        "theta_sets": q_theta_sets,
         "grouped_hll_distinct": q_grouped_hll_distinct,
         "cms_repo_counts": q_cms_repo_counts,
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -1158,6 +1186,21 @@ def oracle_sql() -> dict[str, str]:
                    true AS within_3sigma
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "theta_sets": """
+            WITH o AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderstatus = 'O'),
+                 f AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderstatus = 'F')
+            SELECT 'open' AS set_op,
+                   (SELECT count(*) FROM o) AS distinct_custkeys
+            UNION ALL SELECT 'final', (SELECT count(*) FROM f)
+            UNION ALL SELECT 'open_and_final',
+                (SELECT count(*) FROM (SELECT * FROM o INTERSECT SELECT * FROM f))
+            UNION ALL SELECT 'open_or_final',
+                (SELECT count(*) FROM (SELECT * FROM o UNION SELECT * FROM f))
+            UNION ALL SELECT 'open_not_final',
+                (SELECT count(*) FROM (SELECT * FROM o EXCEPT SELECT * FROM f))
         """,
         "cms_repo_counts": """
             WITH code AS ({code_table})

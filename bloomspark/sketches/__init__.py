@@ -20,6 +20,10 @@ answers, and in the driver oracle gate against DuckDB):
   merge = centroid merge + recompress.
 - KLL: uniform rank error O(1/k) quantiles (Karnin, Lang, Liberty
   2016), merge = level-wise concat + compaction.
+- Theta (KMV bottom-k): distinct counts with SET OPERATIONS —
+  union/intersection/A-not-B estimates at relative error ~1/sqrt(k-2)
+  (Beyer et al. 2007), EXACT while the retained set stays under k;
+  merge = union of retained hashes below min(theta).
 """
 
 from .engine import (SketchHandle, build_sketch, build_sketch_checkpointed,
@@ -28,8 +32,10 @@ from .hll import HyperLogLog
 from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
+from .theta import ThetaSketch
 
 __all__ = [
+    "ThetaSketch",
     "build_sketch_per_group",
     "sketch_values_per_group",
     "HyperLogLog",

@@ -320,3 +320,80 @@ def test_grouped_sketch_null_groups(spark):
     assert set(got) == {"a", None}
     assert abs(got["a"] - 50) / 50 <= 3 * hll.standard_error()
     assert abs(got[None] - 30) / 30 <= 3 * hll.standard_error()
+
+
+# --- Theta (KMV) sketch: set-operation cardinalities ------------------
+
+
+def test_theta_exact_mode_set_ops(spark, lineitem):
+    """With k above the true cardinality nothing is ever discarded
+    (theta stays 2^64), so estimate/union/intersect/a_not_b are all
+    EXACT — compared against Spark's own exact set algebra."""
+    from bloomspark.sketches import ThetaSketch
+
+    th = ThetaSketch(k=1 << 14)
+    lo = lineitem.where(F.col("l_quantity") <= 25).select("l_orderkey")
+    hi = lineitem.where(F.col("l_quantity") >= 20).select("l_orderkey")
+    a = build_sketch(lo.repartition(5), "l_orderkey", th)
+    b = build_sketch(hi.repartition(3), "l_orderkey", th)
+    exact_a = lo.distinct().count()
+    exact_b = hi.distinct().count()
+    exact_and = lo.intersect(hi).count()
+    exact_or = lo.union(hi).distinct().count()
+    exact_not = lo.distinct().subtract(hi.distinct()).count()
+    assert th.is_exact(a.state) and th.is_exact(b.state)
+    assert a.estimate() == exact_a and b.estimate() == exact_b
+    assert th.estimate(th.intersect(a.state, b.state)) == exact_and
+    assert th.estimate(th.merge_states(a.state, b.state)) == exact_or
+    assert th.estimate(th.a_not_b(a.state, b.state)) == exact_not
+
+
+def test_theta_estimation_mode_bounds(spark):
+    """k far below n: the bottom-k estimate lands within 5 relative
+    standard errors (1/sqrt(k-2)) of exact, and the set-algebra
+    identity |A∩B| + |A\\B| = |A| holds EXACTLY on the retained
+    samples (all three share the same theta)."""
+    from bloomspark.sketches import ThetaSketch
+
+    th = ThetaSketch(k=1024)
+    df = spark.range(0, 50_000, 1, 8).select(
+        F.concat(F.lit("key:"), F.col("id")).alias("key")
+    )
+    h = build_sketch(df, "key", th)
+    assert not th.is_exact(h.state)
+    assert th.retained(h.state) == 1024
+    rse = 1.0 / np.sqrt(1024 - 2)
+    assert abs(h.estimate() - 50_000) / 50_000 < 5 * rse
+
+    other = spark.range(25_000, 75_000, 1, 8).select(
+        F.concat(F.lit("key:"), F.col("id")).alias("key")
+    )
+    g = build_sketch(other, "key", th)
+    est_and = th.estimate(th.intersect(h.state, g.state))
+    est_not = th.estimate(th.a_not_b(h.state, g.state))
+    est_a = len(h.state.entries[
+        h.state.entries < np.uint64(min(h.state.theta, g.state.theta))
+    ]) * float(1 << 64) / min(h.state.theta, g.state.theta)
+    assert est_and + est_not == pytest.approx(est_a)
+    # and both land near truth (25k overlap): generous 10-sigma band,
+    # deterministic hashes so this either always passes or never does
+    assert abs(est_and - 25_000) / 25_000 < 10 * rse
+    assert abs(est_not - 25_000) / 25_000 < 10 * rse
+
+
+def test_theta_partition_invariance_and_serde(spark, lineitem):
+    """Sorted-unique entries make the payload byte-deterministic
+    across partitionings; deserialize rejects k/seed mismatches."""
+    from bloomspark.sketches import ThetaSketch
+
+    th = ThetaSketch(k=256)
+    a = build_sketch(lineitem.repartition(3), "l_orderkey", th)
+    b = build_sketch(lineitem.repartition(17), "l_orderkey", th)
+    assert th.serialize(a.state) == th.serialize(b.state)
+    rt = th.deserialize(th.serialize(a.state))
+    assert rt.theta == a.state.theta
+    assert np.array_equal(rt.entries, a.state.entries)
+    with pytest.raises(ValueError, match="does not match"):
+        ThetaSketch(k=512).deserialize(th.serialize(a.state))
+    with pytest.raises(ValueError, match="does not match"):
+        ThetaSketch(k=256, seed=7).deserialize(th.serialize(a.state))
