@@ -322,6 +322,27 @@ def q_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "set_op string, distinct_custkeys bigint")
 
 
+def q_frequent_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (sketches/frequent.py, round-6): the
+    top-10 repos of the code table by file count, WITH identities —
+    the query count-min cannot answer without a driver-side candidate
+    list.  k=256 exceeds the 97 distinct repos, so no trim ever fires,
+    error == 0, and the counts are EXACT; tie-break (count desc, repo
+    asc) matches the SQL ORDER BY, so the oracle is a plain GROUP BY /
+    ORDER BY / LIMIT.  Estimation-mode [lower, upper] bounds are pinned
+    in tests/test_sketches.py."""
+    from bloomspark.sketches import FrequentItemsSketch, build_sketch
+    from bloomspark.sources import source_code_table
+
+    df = source_code_table(spark, _CODE_N, partitions=16)
+    fs = FrequentItemsSketch(k=256)
+    h = build_sketch(df, "repo", fs)
+    rows = [(item, lo, bool(lo == hi)) for item, lo, hi in h.top_k(10)]
+    return spark.createDataFrame(
+        rows, "repo string, cnt bigint, is_exact boolean"
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL count-distinct over the code table's content shas: estimate
     within 3 standard errors (1.04/sqrt(2^14)) of exact."""
@@ -998,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_sha_invariant": q_code_sha_invariant,
         "hll_distinct": q_hll_distinct,
         "theta_sets": q_theta_sets,
+        "frequent_repos": q_frequent_repos,
         "grouped_hll_distinct": q_grouped_hll_distinct,
         "cms_repo_counts": q_cms_repo_counts,
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -1201,6 +1223,12 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT count(*) FROM (SELECT * FROM o UNION SELECT * FROM f))
             UNION ALL SELECT 'open_not_final',
                 (SELECT count(*) FROM (SELECT * FROM o EXCEPT SELECT * FROM f))
+        """,
+        "frequent_repos": """
+            WITH code AS ({code_table})
+            SELECT repo, count(*) AS cnt, true AS is_exact
+            FROM code GROUP BY repo
+            ORDER BY cnt DESC, repo ASC LIMIT 10
         """,
         "cms_repo_counts": """
             WITH code AS ({code_table})
@@ -1655,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     code = CODE_TABLE_SQL(_CODE_N)
-    for k in ("code_sha_invariant", "hll_distinct", "cms_repo_counts"):
-        sqls[k] = sqls[k].replace("{code_table}", code)
+    for k, sql in sqls.items():
+        if "{code_table}" in sql:
+            sqls[k] = sql.replace("{code_table}", code)
     return sqls

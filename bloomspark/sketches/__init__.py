@@ -24,6 +24,10 @@ answers, and in the driver oracle gate against DuckDB):
   union/intersection/A-not-B estimates at relative error ~1/sqrt(k-2)
   (Beyer et al. 2007), EXACT while the retained set stays under k;
   merge = union of retained hashes below min(theta).
+- Frequent items (Misra-Gries 1982, mergeable per Agarwal et al.
+  2012): top-k heavy hitters WITH their identities; every count
+  carries [lower, upper] bounds with upper - lower <= n/(k+1), EXACT
+  while no trim has fired; merge = counter add + trim.
 """
 
 from .engine import (SketchHandle, build_sketch, build_sketch_checkpointed,
@@ -33,9 +37,11 @@ from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
 from .theta import ThetaSketch
+from .frequent import FrequentItemsSketch
 
 __all__ = [
     "ThetaSketch",
+    "FrequentItemsSketch",
     "build_sketch_per_group",
     "sketch_values_per_group",
     "HyperLogLog",

@@ -1,7 +1,28 @@
 """Input sources: the synthetic source-code repository table (the
-north-rule input shape) and an Iceberg-or-parquet reader seam."""
+north-rule input shape), an Iceberg-or-parquet reader seam, and the
+Bloom-index data-skipping layer (per-file filters pruning scans)."""
 
 from .codetable import CODE_TABLE_SQL, source_code_table
 from .reader import read_table
+from .skipping import (
+    FILE_INDEX_SCHEMA,
+    build_file_index,
+    load_file_index,
+    prune_files,
+    pruned_read,
+    save_file_index,
+    skipped_file_stats,
+)
 
-__all__ = ["source_code_table", "CODE_TABLE_SQL", "read_table"]
+__all__ = [
+    "source_code_table",
+    "CODE_TABLE_SQL",
+    "read_table",
+    "FILE_INDEX_SCHEMA",
+    "build_file_index",
+    "prune_files",
+    "pruned_read",
+    "skipped_file_stats",
+    "save_file_index",
+    "load_file_index",
+]

@@ -397,3 +397,87 @@ def test_theta_partition_invariance_and_serde(spark, lineitem):
         ThetaSketch(k=512).deserialize(th.serialize(a.state))
     with pytest.raises(ValueError, match="does not match"):
         ThetaSketch(k=256, seed=7).deserialize(th.serialize(a.state))
+
+
+# --- Misra-Gries frequent-items (heavy hitters) -----------------------
+
+
+def test_frequent_exact_mode_top_k(spark, lineitem):
+    """With k above the true distinct count no trim ever fires
+    (error == 0), every count is exact, and top_k matches the exact
+    GROUP BY ... ORDER BY count DESC (ties by key asc)."""
+    from bloomspark.sketches import FrequentItemsSketch
+
+    fs = FrequentItemsSketch(k=4096)
+    h = build_sketch(lineitem.repartition(8), "l_partkey", fs)
+    assert fs.is_exact(h.state)
+    exact = {
+        str(r["l_partkey"]): r["cnt"]
+        for r in lineitem.groupBy("l_partkey").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert fs.tracked(h.state) == len(exact)
+    expect = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = h.top_k(20)
+    assert [(item, lo) for item, lo, _hi in got] == expect
+    assert all(lo == hi for _item, lo, hi in got)
+    assert h.rows == lineitem.count()
+
+
+def test_frequent_estimation_mode_bounds(spark):
+    """k far below distinct: every stored count is a true lower bound,
+    stored + error a true upper bound, error <= n/(k+1), and the real
+    heavy hitters (items with count > n/(k+1)) are all present."""
+    from bloomspark.sketches import FrequentItemsSketch
+
+    # 64 heavy keys with ~1500 rows each + 100k singleton tail
+    heavy = spark.range(0, 96_000, 1, 8).select(
+        F.concat(F.lit("hot:"), (F.col("id") % 64)).alias("key")
+    )
+    tail = spark.range(0, 100_000, 1, 8).select(
+        F.concat(F.lit("cold:"), F.col("id")).alias("key")
+    )
+    df = heavy.union(tail)
+    fs = FrequentItemsSketch(k=256)
+    h = build_sketch(df, "key", fs)
+    n = 196_000
+    assert not fs.is_exact(h.state)
+    assert h.error_bound() <= n // (256 + 1) + 1
+    assert fs.tracked(h.state) <= 256
+    got = {item: (lo, hi) for item, lo, hi in h.top_k(256)}
+    for i in range(64):
+        item = f"hot:{i}"
+        true = 1500
+        assert item in got, f"heavy hitter {item} evicted"
+        lo, hi = got[item]
+        assert lo <= true <= hi
+    # the top-64 by count must be exactly the hot keys
+    top64 = [item for item, _lo, _hi in h.top_k(64)]
+    assert all(t.startswith("hot:") for t in top64)
+
+
+def test_frequent_merge_serde_and_exact_invariance(spark, lineitem):
+    """Exact-mode states are partition-invariant (no trim -> plain
+    counter adds, order-free) and byte-deterministic; deserialize
+    rejects k/seed mismatches; estimate() finds single keys."""
+    from bloomspark.sketches import FrequentItemsSketch
+
+    fs = FrequentItemsSketch(k=4096)
+    a = build_sketch(lineitem.repartition(3), "l_partkey", fs)
+    b = build_sketch(lineitem.repartition(17), "l_partkey", fs)
+    assert fs.serialize(a.state) == fs.serialize(b.state)
+    rt = fs.deserialize(fs.serialize(a.state))
+    assert np.array_equal(rt.hashes, a.state.hashes)
+    assert np.array_equal(rt.counts, a.state.counts)
+    assert rt.items == a.state.items and rt.n == a.state.n
+    exact = {
+        str(r["l_partkey"]): r["cnt"]
+        for r in lineitem.groupBy("l_partkey").agg(F.count("*").alias("cnt")).collect()
+    }
+    some = sorted(exact)[:5]
+    for key in some:
+        assert fs.estimate(a.state, key) == exact[key]
+    assert fs.estimate(a.state, "no-such-key") == 0.0
+    with pytest.raises(ValueError, match="does not match"):
+        FrequentItemsSketch(k=512).deserialize(fs.serialize(a.state))
+    with pytest.raises(ValueError, match="does not match"):
+        FrequentItemsSketch(k=4096, seed=7).deserialize(fs.serialize(a.state))

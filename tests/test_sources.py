@@ -51,3 +51,102 @@ def test_iceberg_roundtrip_when_runtime_present(spark, tmp_path):
         df.select("o_orderkey").limit(100), "o_orderkey", bf
     )
     assert probed.where(~F.col("member")).count() == 0
+
+
+# --- Bloom-index data skipping (bloomspark/sources/skipping.py) --------
+
+
+@pytest.fixture(scope="module")
+def doc_lake(spark, tmp_path_factory):
+    """documents re-written as a 12-file range-partitioned lake, so
+    doc_id ranges cluster per file and pruning has something to skip."""
+    path = str(tmp_path_factory.mktemp("lake") / "documents")
+    (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .repartitionByRange(12, "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def test_pruned_read_identical_to_full_scan(spark, doc_lake):
+    """The contract: pruned read == full-scan filter, row for row (no
+    false negatives + exact residual filter)."""
+    from bloomspark.sources import build_file_index, pruned_read
+
+    df = spark.read.parquet(doc_lake)
+    cfg = FilterConfig.complete(n=200, p=0.01)
+    index = build_file_index(df, "doc_id", cfg).cache()
+    probe_ids = [3, 141, 468]
+    got = pruned_read(spark, index, "doc_id", probe_ids, cfg)
+    want = df.where(F.col("doc_id").isin(probe_ids))
+    assert sorted(got.collect()) == sorted(want.collect())
+    assert got.columns == df.columns
+
+
+def test_prune_actually_skips_files(spark, doc_lake):
+    """With range-clustered doc_ids, probing 2 ids must keep only a
+    small fraction of the 12 files — the whole point of the index."""
+    from bloomspark.sources import build_file_index, skipped_file_stats
+
+    df = spark.read.parquet(doc_lake)
+    cfg = FilterConfig.complete(n=200, p=1e-4)
+    index = build_file_index(df, "doc_id", cfg).cache()
+    stats = skipped_file_stats(index, cfg, [0, 499])
+    assert stats["total"] == 12
+    # 2 keys live in 2 files; p=1e-4 makes false-positive files unlikely
+    assert stats["kept"] <= 4
+    # a key in every file's range... still must never lose a true file:
+    all_ids = [r["doc_id"] for r in df.select("doc_id").collect()]
+    stats_all = skipped_file_stats(index, cfg, all_ids[:50])
+    assert stats_all["kept"] >= 1
+
+
+def test_pruned_read_empty_result_keeps_schema(spark, doc_lake):
+    from bloomspark.sources import build_file_index, pruned_read
+
+    df = spark.read.parquet(doc_lake)
+    cfg = FilterConfig.complete(n=200, p=1e-6)
+    index = build_file_index(df, "doc_id", cfg).cache()
+    got = pruned_read(spark, index, "doc_id", [10_000_000], cfg)
+    assert got.count() == 0
+    assert got.schema == df.schema
+
+
+def test_file_index_save_load_roundtrip(spark, doc_lake, tmp_path):
+    from bloomspark.sources import (
+        build_file_index,
+        load_file_index,
+        pruned_read,
+        save_file_index,
+    )
+
+    df = spark.read.parquet(doc_lake)
+    cfg = FilterConfig.complete(n=200, p=0.01)
+    index = build_file_index(df, "doc_id", cfg)
+    save_file_index(index, str(tmp_path / "idx"), cfg)
+    loaded, cfg2 = load_file_index(spark, str(tmp_path / "idx"))
+    assert cfg2.to_dict() == cfg.to_dict()
+    got = pruned_read(spark, loaded, "doc_id", [7], cfg2)
+    want = df.where(F.col("doc_id") == 7)
+    assert sorted(got.collect()) == sorted(want.collect())
+    # kind-tag guard: a sharded artifact must be refused
+    with pytest.raises(ValueError, match="file_index"):
+        from bloomspark.sharded import _hadoop_fs_and_path  # noqa: F401
+        import json, os
+
+        os.makedirs(str(tmp_path / "bad"), exist_ok=True)
+        with open(str(tmp_path / "bad" / "config.json"), "w") as f:
+            json.dump({"config": cfg.to_dict(), "kind": "bloom"}, f)
+        load_file_index(spark, str(tmp_path / "bad"))
+
+
+def test_file_index_rejects_inmemory_dataframe(spark):
+    from bloomspark.sources import build_file_index
+
+    cfg = FilterConfig.complete(n=100, p=0.01)
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    index = build_file_index(df, "doc_id", cfg)
+    with pytest.raises(Exception, match="file-backed|RAISE_ERROR|raise_error"):
+        index.collect()
