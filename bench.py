@@ -395,6 +395,66 @@ def bench_queries(spark, sf_dir: str):
         n_li,
     )
 
+    # Misra-Gries heavy hitters (sketches/frequent.py, round 6): top-k
+    # partkeys WITH identities in one mapInArrow pass + driver merge —
+    # estimation mode at sf0.1 (distinct partkeys >> k), the 100-TB
+    # configuration.  x-prefixed until it carries two rounds of history.
+    from bloomspark.sketches import FrequentItemsSketch, build_sketch
+
+    timed(
+        "x22_frequent_topk",
+        lambda: build_sketch(
+            lineitem.repartition(nparts),
+            "l_partkey",
+            FrequentItemsSketch(k=2048),
+        ).top_k(10),
+        n_li,
+    )
+
+    # Bloom-index data skipping (sources/skipping.py, round 6): lineitem
+    # re-written once (outside the timers) as a 32-file range-clustered
+    # lake; x23 times the per-file index build (grouped two-phase,
+    # states never driver-resident), x24 the point-lookup path: prune
+    # pass over the index -> read ONLY surviving files -> exact residual
+    # filter.  The skip ratio is the cell's point — at 100 TB this is
+    # the difference between touching 4 files and touching all of them.
+    import shutil
+    import tempfile
+
+    from bloomspark.sources import build_file_index, pruned_read
+
+    lake_dir = tempfile.mkdtemp(prefix="bloomspark_lake_")
+    lake_path = f"{lake_dir}/lineitem"
+    (
+        lineitem.repartitionByRange(32, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lake_path)
+    )
+    lake = spark.read.parquet(lake_path)
+    # distinct orderkeys per range file ~ (distinct overall)/32
+    n_per_file = max(n_li // (4 * 32), 1000)
+    icfg = FilterConfig.complete(n=n_per_file, p=1e-4)
+    idx_holder = {}
+    timed(
+        "x23_file_index_build",
+        lambda: idx_holder.__setitem__(
+            "i", build_file_index(lake, "l_orderkey", icfg).persist()
+        )
+        or idx_holder["i"].count(),
+        n_li,
+    )
+    probe_keys = [1, n_li // 2, n_li - 1, 7777]
+    timed(
+        "x24_file_skip_read",
+        lambda: pruned_read(
+            spark, idx_holder["i"], "l_orderkey", probe_keys, icfg
+        ).count(),
+        n_li,
+        clear=False,
+    )
+    idx_holder["i"].unpersist()
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
     return results
 
 
