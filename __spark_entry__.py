@@ -343,6 +343,62 @@ def q_frequent_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skip_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-written once per session as a 12-file
+    range-clustered lake (doc_id ranges per file), the shape the
+    data-skipping index prunes."""
+    import tempfile
+
+    global _SKIP_LAKE_PATH
+    if _SKIP_LAKE_PATH is None:
+        path = tempfile.mkdtemp(prefix="bloomspark_skiplake_") + "/documents"
+        (
+            _read(spark, sf_dir, "documents")
+            .repartitionByRange(12, "doc_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _SKIP_LAKE_PATH = path
+    return spark.read.parquet(_SKIP_LAKE_PATH)
+
+
+_SKIP_LAKE_PATH = None
+
+
+def q_file_skip_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index data skipping, point-lookup path
+    (sources/skipping.py, round-6): per-file Bloom filters built by
+    input_file_name() through the grouped two-phase build, probe keys'
+    positions broadcast over one distributed prune pass, then ONLY the
+    surviving files are read and the exact residual filter applied —
+    identical to the full-scan IN filter (no false negatives), which
+    is exactly what the oracle asserts."""
+    from bloomspark.sources import build_file_index, pruned_read
+
+    df = _skip_lake(spark, sf_dir)
+    cfg = FilterConfig.complete(n=200, p=1e-4)
+    index = build_file_index(df, "doc_id", cfg)
+    ids = [3, 141, 468]
+    return pruned_read(spark, index, "doc_id", ids, cfg).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def q_file_skip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping, range path (sources/skipping.py,
+    round-6): typed per-file key_min/key_max bounds, range pruning as
+    pure Catalyst comparisons (no probe pass), exact residual BETWEEN
+    — identical to the full-scan BETWEEN filter."""
+    from bloomspark.sources import build_file_index, pruned_read_range
+
+    df = _skip_lake(spark, sf_dir)
+    cfg = FilterConfig.complete(n=200, p=1e-4)
+    index = build_file_index(df, "doc_id", cfg, zone_map=True)
+    return pruned_read_range(spark, index, "doc_id", 100, 149).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL count-distinct over the code table's content shas: estimate
     within 3 standard errors (1.04/sqrt(2^14)) of exact."""
@@ -1020,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "theta_sets": q_theta_sets,
         "frequent_repos": q_frequent_repos,
+        "file_skip_point": q_file_skip_point,
+        "file_skip_range": q_file_skip_range,
         "grouped_hll_distinct": q_grouped_hll_distinct,
         "cms_repo_counts": q_cms_repo_counts,
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -1223,6 +1281,14 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT count(*) FROM (SELECT * FROM o UNION SELECT * FROM f))
             UNION ALL SELECT 'open_not_final',
                 (SELECT count(*) FROM (SELECT * FROM o EXCEPT SELECT * FROM f))
+        """,
+        "file_skip_point": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id IN (3, 141, 468)
+        """,
+        "file_skip_range": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id BETWEEN 100 AND 149
         """,
         "frequent_repos": """
             WITH code AS ({code_table})

@@ -9,7 +9,9 @@ from .skipping import (
     build_file_index,
     load_file_index,
     prune_files,
+    prune_files_range,
     pruned_read,
+    pruned_read_range,
     save_file_index,
     skipped_file_stats,
 )
@@ -21,7 +23,9 @@ __all__ = [
     "FILE_INDEX_SCHEMA",
     "build_file_index",
     "prune_files",
+    "prune_files_range",
     "pruned_read",
+    "pruned_read_range",
     "skipped_file_stats",
     "save_file_index",
     "load_file_index",

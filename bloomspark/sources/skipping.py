@@ -62,6 +62,7 @@ def build_file_index(
     config: FilterConfig,
     *,
     salt_partitions: int = 8,
+    zone_map: bool = False,
 ) -> DataFrame:
     """One Bloom filter per underlying file of a file-backed scan ->
     DataFrame (file, rows, ones, bitset).  ``config`` sizes each
@@ -69,25 +70,37 @@ def build_file_index(
     keys per FILE (not per table).  ``df`` must read from files
     (parquet/orc/...): ``input_file_name()`` is empty for in-memory
     DataFrames, which raises (executor-side, lazily) rather than
-    indexing garbage under a '' file name."""
+    indexing garbage under a '' file name.
+
+    ``zone_map=True`` appends ``key_min`` / ``key_max`` columns (the
+    ORIGINAL column type, not the hashed string form) — the other half
+    of Iceberg/Parquet-style skipping: bloom answers point lookups,
+    the zone map answers RANGE predicates with pure Catalyst
+    comparisons (:func:`prune_files_range`, no probe pass at all).
+    Costs one extra aggregation scan of the input at build time."""
     fname = F.input_file_name()
+    guarded = F.when(
+        fname == "",
+        F.raise_error(
+            F.lit(
+                "build_file_index: input_file_name() is empty — "
+                "the DataFrame is not a file-backed scan"
+            )
+        ),
+    ).otherwise(fname)
     keyed = df.select(
-        F.when(
-            fname == "",
-            F.raise_error(
-                F.lit(
-                    "build_file_index: input_file_name() is empty — "
-                    "the DataFrame is not a file-backed scan"
-                )
-            ),
-        )
-        .otherwise(fname)
-        .alias("__file"),
-        key_column(key_col).alias("__key"),
+        guarded.alias("__file"), key_column(key_col).alias("__key")
     )
     index = build_bloom_per_group(
         keyed, "__file", "__key", config, salt_partitions=salt_partitions
     ).withColumnRenamed("group", "file")
+    if zone_map:
+        zones = (
+            df.select(guarded.alias("file"), F.col(key_col).alias("__z"))
+            .groupBy("file")
+            .agg(F.min("__z").alias("key_min"), F.max("__z").alias("key_max"))
+        )
+        index = index.join(zones, "file")
     return index
 
 
@@ -155,6 +168,55 @@ def pruned_read(
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*kept).where(
         key_column(key_col).isin(str_vals)
+    )
+
+
+def prune_files_range(index: DataFrame, lo, hi) -> DataFrame:
+    """Zone-map range pruning -> (file string, may_contain boolean):
+    whether each file's [key_min, key_max] overlaps [lo, hi].  Pure
+    Catalyst comparisons over the index — no probe pass, no UDF; NULL
+    zone bounds (all-null key files) are conservatively kept.
+    Requires an index built with ``zone_map=True``."""
+    if "key_min" not in index.columns:
+        raise ValueError(
+            "index has no zone map — build_file_index(..., zone_map=True)"
+        )
+    overlap = (F.col("key_max") >= F.lit(lo)) & (F.col("key_min") <= F.lit(hi))
+    return index.select(
+        "file",
+        F.coalesce(overlap, F.lit(True)).alias("may_contain"),
+    )
+
+
+def pruned_read_range(
+    spark: SparkSession,
+    index: DataFrame,
+    key_col: str,
+    lo,
+    hi,
+    *,
+    schema=None,
+) -> DataFrame:
+    """Exact ``key_col BETWEEN lo AND hi`` reading ONLY files whose
+    zone map overlaps the range — identical results to the full-scan
+    filter (zone maps are exact bounds, the residual filter trims the
+    partial-overlap files)."""
+    kept = [
+        r["file"]
+        for r in prune_files_range(index, lo, hi)
+        .where(F.col("may_contain"))
+        .select("file")
+        .collect()
+    ]
+    if not kept:
+        if schema is None:
+            any_file = index.select("file").first()
+            if any_file is None:
+                raise ValueError("index is empty")
+            schema = spark.read.parquet(any_file["file"]).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*kept).where(
+        (F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi))
     )
 
 

@@ -242,3 +242,43 @@ def test_knn_join_lsh_plan_never_cartesian(spark):
     p = plan(out)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_file_index_prune_plan_shapes(spark, tmp_path_factory):
+    """Data-skipping plans (round 6): the index build is the grouped
+    two-phase shape (MapInArrow + FlatMapGroupsInPandas, no cartesian);
+    the bloom prune pass is ONE MapInArrow over the index with no join;
+    zone-map range pruning is pure Catalyst (no Python eval at all)."""
+    from bloomspark.sources import (
+        build_file_index,
+        prune_files,
+        prune_files_range,
+    )
+
+    path = str(tmp_path_factory.mktemp("planlake") / "docs")
+    spark.read.parquet(f"{SF}/documents.parquet").repartitionByRange(
+        4, "doc_id"
+    ).write.parquet(path)
+    lake = spark.read.parquet(path)
+    cfg = FilterConfig.complete(n=200, p=0.01)
+
+    index = build_file_index(lake, "doc_id", cfg, zone_map=True)
+    p = plan(index)
+    assert "MapInArrow" in p and "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    pruned = prune_files(index.select("file", "rows", "ones", "bitset"), cfg, [1, 2])
+    pp = plan(pruned)
+    assert pp.count("MapInArrow") >= 1 and "Join" not in pp.split("MapInArrow")[-1]
+
+    ranged = prune_files_range(index, 10, 20)
+    # materialized index -> range prune is projection-only Catalyst
+    mat = index.cache()
+    try:
+        rp = plan(prune_files_range(mat, 10, 20))
+        assert "ArrowEvalPython" not in rp and "MapInArrow" not in rp.split(
+            "InMemoryTableScan"
+        )[0].split("InMemoryRelation")[0]
+    finally:
+        mat.unpersist()
+    assert ranged.columns == ["file", "may_contain"]

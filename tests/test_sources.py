@@ -150,3 +150,53 @@ def test_file_index_rejects_inmemory_dataframe(spark):
     index = build_file_index(df, "doc_id", cfg)
     with pytest.raises(Exception, match="file-backed|RAISE_ERROR|raise_error"):
         index.collect()
+
+
+def test_zone_map_range_read_identical_and_skips(spark, doc_lake):
+    """zone_map=True adds typed key_min/key_max; range pruning is pure
+    Catalyst, keeps only overlapping files, and the pruned range read
+    equals the full-scan BETWEEN row for row."""
+    from bloomspark.sources import (
+        build_file_index,
+        prune_files_range,
+        pruned_read_range,
+    )
+
+    df = spark.read.parquet(doc_lake)
+    cfg = FilterConfig.complete(n=200, p=0.01)
+    index = build_file_index(df, "doc_id", cfg, zone_map=True).cache()
+    assert {"key_min", "key_max"} <= set(index.columns)
+    # typed bounds, not strings (doc_id is int64)
+    dt = dict(index.dtypes)
+    assert dt["key_min"] == "bigint" and dt["key_max"] == "bigint"
+    kept = prune_files_range(index, 100, 149).where("may_contain").count()
+    # 50 contiguous ids out of 500 over 12 range files -> at most 3 files
+    assert 1 <= kept <= 3
+    got = pruned_read_range(spark, index, "doc_id", 100, 149)
+    want = df.where(F.col("doc_id").between(100, 149))
+    assert sorted(got.collect()) == sorted(want.collect())
+    # no-overlap range: empty result, schema preserved
+    empty = pruned_read_range(spark, index, "doc_id", 10_000, 20_000)
+    assert empty.count() == 0 and empty.schema == df.schema
+    # an index without a zone map refuses range pruning
+    bare = build_file_index(df, "doc_id", cfg)
+    with pytest.raises(ValueError, match="zone map"):
+        prune_files_range(bare, 0, 1)
+
+
+def test_zone_map_survives_save_load(spark, doc_lake, tmp_path):
+    from bloomspark.sources import (
+        build_file_index,
+        load_file_index,
+        pruned_read_range,
+        save_file_index,
+    )
+
+    df = spark.read.parquet(doc_lake)
+    cfg = FilterConfig.complete(n=200, p=0.01)
+    index = build_file_index(df, "doc_id", cfg, zone_map=True)
+    save_file_index(index, str(tmp_path / "zidx"), cfg)
+    loaded, _cfg = load_file_index(spark, str(tmp_path / "zidx"))
+    got = pruned_read_range(spark, loaded, "doc_id", 42, 77)
+    want = df.where(F.col("doc_id").between(42, 77))
+    assert sorted(got.collect()) == sorted(want.collect())
