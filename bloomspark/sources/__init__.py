@@ -14,6 +14,7 @@ from .skipping import (
     pruned_read_range,
     save_file_index,
     skipped_file_stats,
+    update_file_index,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "skipped_file_stats",
     "save_file_index",
     "load_file_index",
+    "update_file_index",
 ]

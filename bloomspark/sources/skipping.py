@@ -104,6 +104,46 @@ def build_file_index(
     return index
 
 
+def update_file_index(
+    index: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    config: FilterConfig,
+    *,
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """Incremental index maintenance: index ONLY files of ``df`` not
+    yet present in ``index`` and return the union — on an append-only
+    lake the cost is proportional to the appended files, never the
+    table (the property that makes a 10^12-file index maintainable).
+
+    New-file detection is FILE-level, not row-level: ``df.inputFiles()``
+    (driver-side file NAMES — strings, tiny even at 10^6 files) minus
+    the names already in ``index``, then a fresh reader over exactly
+    those paths — already-indexed files are never re-opened, their
+    rows ride over from ``index`` verbatim.  The per-file build is
+    deterministic, so the result is row-identical to a full rebuild.
+    ``config`` must be the one the original index was built with
+    (load_file_index returns it); zone-map presence is auto-detected
+    from the index schema."""
+    zone = "key_min" in index.columns
+    all_files = df.inputFiles()
+    seen = {r["file"] for r in index.select("file").collect()}
+    new_files = [f for f in all_files if f not in seen]
+    if not new_files:
+        return index
+    spark = df.sparkSession
+    new_df = spark.read.schema(df.schema).parquet(*new_files)
+    fresh = build_file_index(
+        new_df,
+        key_col,
+        config,
+        salt_partitions=salt_partitions,
+        zone_map=zone,
+    )
+    return index.unionByName(fresh)
+
+
 def prune_files(
     index: DataFrame, config: FilterConfig, values: Sequence
 ) -> DataFrame:

@@ -200,3 +200,55 @@ def test_zone_map_survives_save_load(spark, doc_lake, tmp_path):
     got = pruned_read_range(spark, loaded, "doc_id", 42, 77)
     want = df.where(F.col("doc_id").between(42, 77))
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_update_file_index_incremental_equals_rebuild(spark, tmp_path):
+    """Appending files to the lake and running update_file_index must
+    (a) reuse the old files' rows verbatim, (b) index only the new
+    files, and (c) produce a row-identical result to a full rebuild
+    (the per-file build is deterministic)."""
+    from bloomspark.sources import (
+        build_file_index,
+        pruned_read,
+        update_file_index,
+    )
+
+    lake = str(tmp_path / "grow")
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    base.repartitionByRange(8, "doc_id").write.parquet(lake)
+    cfg = FilterConfig.complete(n=200, p=1e-4)
+    df0 = spark.read.parquet(lake)
+    index0 = build_file_index(df0, "doc_id", cfg, zone_map=True)
+    pdf0 = index0.toPandas()
+
+    # idempotent when nothing changed
+    same = update_file_index(index0, df0, "doc_id", cfg)
+    assert same.count() == len(pdf0)
+
+    # append 4 new files with shifted ids
+    (
+        base.withColumn("doc_id", F.col("doc_id") + 1000)
+        .repartitionByRange(4, "doc_id")
+        .write.mode("append")
+        .parquet(lake)
+    )
+    df1 = spark.read.parquet(lake)
+    updated = update_file_index(index0, df1, "doc_id", cfg)
+    rebuilt = build_file_index(df1, "doc_id", cfg, zone_map=True)
+
+    def norm(pdf):
+        rows = [
+            (r.file, r.rows, r.ones, bytes(r.bitset), r.key_min, r.key_max)
+            for r in pdf.itertuples()
+        ]
+        return sorted(rows)
+
+    up, rb = norm(updated.toPandas()), norm(rebuilt.toPandas())
+    assert up == rb
+    assert len(up) == 12
+    # old files' bitsets rode over byte-identically
+    old = {(r.file, bytes(r.bitset)) for r in pdf0.itertuples()}
+    assert old <= {(f, b) for f, _r, _o, b, _mn, _mx in up}
+    # a key living only in an appended file is found through the index
+    got = pruned_read(spark, updated, "doc_id", [1234], cfg)
+    assert got.count() == 1 and got.first()["doc_id"] == 1234
