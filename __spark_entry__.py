@@ -399,6 +399,31 @@ def q_file_skip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_topk_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters (sketches/frequent.py
+    frequent_topk_per_group, round-6): each language's top-2 document
+    sources — grouped MG states built through the salted two-phase
+    shuffle, top-k extracted executor-side.  Exact mode (distinct
+    sources per lang << k=256), same (count desc, item asc) total
+    order as the SQL window, so the oracle is ROW_NUMBER over the
+    exact GROUP BY."""
+    from bloomspark.sketches import (
+        FrequentItemsSketch,
+        build_sketch_per_group,
+        frequent_topk_per_group,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    fs = FrequentItemsSketch(k=256)
+    grouped = build_sketch_per_group(docs, "lang", "source", fs)
+    return frequent_topk_per_group(grouped, fs, n=2).select(
+        F.col("group").alias("lang"),
+        F.col("item").alias("source"),
+        F.col("count_lower").alias("cnt"),
+        F.col("rank").alias("rnk"),
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL count-distinct over the code table's content shas: estimate
     within 3 standard errors (1.04/sqrt(2^14)) of exact."""
@@ -1076,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "theta_sets": q_theta_sets,
         "frequent_repos": q_frequent_repos,
+        "grouped_topk_sources": q_grouped_topk_sources,
         "file_skip_point": q_file_skip_point,
         "file_skip_range": q_file_skip_range,
         "grouped_hll_distinct": q_grouped_hll_distinct,
@@ -1281,6 +1307,17 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT count(*) FROM (SELECT * FROM o UNION SELECT * FROM f))
             UNION ALL SELECT 'open_not_final',
                 (SELECT count(*) FROM (SELECT * FROM o EXCEPT SELECT * FROM f))
+        """,
+        "grouped_topk_sources": """
+            WITH c AS (
+                SELECT lang, source, count(*) AS cnt
+                FROM documents GROUP BY lang, source
+            )
+            SELECT lang, source, cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY cnt DESC, source ASC
+                   ) AS rnk
+            FROM c QUALIFY rnk <= 2
         """,
         "file_skip_point": """
             SELECT doc_id, text, lang, source, n_chars

@@ -37,11 +37,12 @@ from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
 from .theta import ThetaSketch
-from .frequent import FrequentItemsSketch
+from .frequent import FrequentItemsSketch, frequent_topk_per_group
 
 __all__ = [
     "ThetaSketch",
     "FrequentItemsSketch",
+    "frequent_topk_per_group",
     "build_sketch_per_group",
     "sketch_values_per_group",
     "HyperLogLog",

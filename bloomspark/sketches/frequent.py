@@ -230,3 +230,42 @@ class FrequentItemsSketch:
         lo = murmur3_32(keys, self.seed).astype(np.uint64)
         hi = murmur3_32(keys, self.seed + 1).astype(np.uint64)
         return (hi << np.uint64(32)) | lo
+
+
+def frequent_topk_per_group(
+    grouped, sketch: FrequentItemsSketch, n: int = 10
+):
+    """Per-group heavy hitters -> (group, item, count_lower,
+    count_upper, rank): the extractor for
+    ``build_sketch_per_group(df, group_col, col, FrequentItemsSketch())``
+    — 'top sources per language' style queries.  Runs executor-side
+    (states never reach the driver), one row per (group, top item);
+    rank is 1-based in (count desc, item asc) order, the same total
+    order :meth:`FrequentItemsSketch.top_k` uses."""
+    import pandas as pd
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = None
+        for payload in pdf["payload"]:
+            other = sketch.deserialize(bytes(payload))
+            state = (
+                other if state is None else sketch.merge_states(state, other)
+            )
+        rows = sketch.top_k(state, n)
+        return pd.DataFrame(
+            {
+                "group": pdf["group"].iloc[0],
+                "item": [r[0] for r in rows],
+                "count_lower": [r[1] for r in rows],
+                "count_upper": [r[2] for r in rows],
+                "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+            }
+        )
+
+    return grouped.groupBy("group").applyInPandas(
+        apply,
+        schema=(
+            "group string, item string, count_lower bigint, "
+            "count_upper bigint, rank bigint"
+        ),
+    )

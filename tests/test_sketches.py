@@ -481,3 +481,39 @@ def test_frequent_merge_serde_and_exact_invariance(spark, lineitem):
         FrequentItemsSketch(k=512).deserialize(fs.serialize(a.state))
     with pytest.raises(ValueError, match="does not match"):
         FrequentItemsSketch(k=4096, seed=7).deserialize(fs.serialize(a.state))
+
+
+def test_frequent_topk_per_group_exact_vs_window(spark):
+    """Grouped heavy hitters: per-lang top-2 sources over documents,
+    exact mode (distinct sources per group << k), compared against
+    Spark's own window-function answer with the same tie-break."""
+    from pyspark.sql import Window
+
+    from bloomspark.sketches import (
+        FrequentItemsSketch,
+        build_sketch_per_group,
+        frequent_topk_per_group,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fs = FrequentItemsSketch(k=256)
+    grouped = build_sketch_per_group(docs, "lang", "source", fs)
+    got = frequent_topk_per_group(grouped, fs, n=2)
+    got_rows = {
+        (r["group"], r["item"], r["count_lower"], r["rank"])
+        for r in got.collect()
+    }
+    assert all(r["count_lower"] == r["count_upper"] for r in got.collect())
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("source").asc()
+    )
+    want = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+    )
+    want_rows = {
+        (r["lang"], r["source"], r["cnt"], r["rank"]) for r in want.collect()
+    }
+    assert got_rows == want_rows
