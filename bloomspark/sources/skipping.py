@@ -125,9 +125,17 @@ def update_file_index(
     deterministic, so the result is row-identical to a full rebuild.
     ``config`` must be the one the original index was built with
     (load_file_index returns it); zone-map presence is auto-detected
-    from the index schema."""
+    from the index schema.  Parquet lakes only (the new-file reader is
+    ``spark.read.parquet``): other formats raise here rather than
+    silently re-reading bytes with the wrong reader."""
     zone = "key_min" in index.columns
     all_files = df.inputFiles()
+    non_parquet = [f for f in all_files if not f.endswith(".parquet")]
+    if non_parquet:
+        raise ValueError(
+            "update_file_index supports parquet lakes only; found "
+            f"{non_parquet[:3]}"
+        )
     seen = {r["file"] for r in index.select("file").collect()}
     new_files = [f for f in all_files if f not in seen]
     if not new_files:

@@ -252,3 +252,19 @@ def test_update_file_index_incremental_equals_rebuild(spark, tmp_path):
     # a key living only in an appended file is found through the index
     got = pruned_read(spark, updated, "doc_id", [1234], cfg)
     assert got.count() == 1 and got.first()["doc_id"] == 1234
+
+
+def test_update_file_index_rejects_non_parquet_lake(spark, tmp_path):
+    """update_file_index re-reads new files with spark.read.parquet;
+    a non-parquet lake must raise rather than mis-read bytes."""
+    import pytest
+
+    from bloomspark.sources import build_file_index, update_file_index
+
+    lake = str(tmp_path / "jsonlake")
+    spark.range(100).withColumnRenamed("id", "doc_id").write.json(lake)
+    cfg = FilterConfig.complete(n=200, p=1e-4)
+    df = spark.read.json(lake)
+    index = build_file_index(df, "doc_id", cfg)
+    with pytest.raises(ValueError, match="parquet lakes only"):
+        update_file_index(index, df, "doc_id", cfg)
