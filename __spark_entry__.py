@@ -37,6 +37,16 @@ from bloomspark import (
 #: driver pass.
 EXACT_P = 1e-9
 
+# Sampling-oracle thresholds: the EXACT integers pipeline/sampling.py
+# computes (same float literals, same accumulation order), baked into
+# the DuckDB SQL so both engines make the identical integer compare.
+_SAMPLE_SPACE = 16**15
+_SAMPLE_T_20 = int(0.2 * _SAMPLE_SPACE)
+_cum = 0.8
+_SAMPLE_T_TRAIN = int(_cum * _SAMPLE_SPACE)
+_cum += 0.1
+_SAMPLE_T_VAL = int(_cum * _SAMPLE_SPACE)
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -720,6 +730,48 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_language_id(docs).select("doc_id", "lang_id")
 
 
+def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% uniform sample keyed on doc_id
+    (pipeline/sampling.py): the kept set is a pure function of the key,
+    so DuckDB replays the identical 60-bit md5 threshold decision."""
+    from bloomspark.pipeline import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, ["doc_id"], fraction=0.2).select("doc_id")
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) over documents —
+    per-row assignment, reproducible and leak-free as the corpus
+    grows."""
+    from bloomspark.pipeline import with_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_split(docs, ["doc_id"]).select("doc_id", "split")
+
+
+def q_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=200) pseudo-random sample: bottom-200 rows by full
+    md5 of the salted key — executed as TakeOrderedAndProject (no full
+    sort)."""
+    from bloomspark.pipeline import bottom_k_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return bottom_k_sample(docs, ["doc_id"], k=200, salt="r6").select("doc_id")
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    k=100, weight = n_chars): rank key u^(1/w) from the deterministic
+    uniform, top-k via TakeOrderedAndProject."""
+    from bloomspark.pipeline import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_sample(docs, ["doc_id"], "n_chars", k=100, salt="r6").select(
+        "doc_id"
+    )
+
+
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for a fixed query vector (vec_id=0), built-in
     zip_with/aggregate arithmetic only."""
@@ -1118,6 +1170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
+        "sample_uniform": q_sample_uniform,
+        "sample_split": q_sample_split,
+        "sample_bottomk": q_sample_bottomk,
+        "sample_weighted": q_sample_weighted,
         "knn_topk": q_knn_topk,
         "ivf_topk": q_ivf_topk,
         "knn_join": q_knn_join,
@@ -1752,6 +1808,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
                         ELSE 'es' END AS lang_id
             FROM c
+        """,
+        # sampling oracles: the 60-bit uniform is ('0x' || first 15 hex
+        # of md5)::BIGINT — bit-identical to Spark's conv(substring(
+        # md5(...), 1, 15), 16, 10).  Thresholds are the EXACT integers
+        # sampling.py computes (same float accumulation, baked driver-
+        # side below), so the kept sets match row-for-row.
+        "sample_uniform": f"""
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  < {_SAMPLE_T_20}
+        """,
+        "sample_split": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS u
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN u < {_SAMPLE_T_TRAIN} THEN 'train'
+                        WHEN u < {_SAMPLE_T_VAL} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        "sample_bottomk": """
+            SELECT doc_id FROM documents
+            ORDER BY md5('r6' || chr(31) || doc_id::VARCHAR) ASC
+            LIMIT 200
+        """,
+        "sample_weighted": f"""
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       pow((('0x' || substr(md5('r6' || chr(31) || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                           / {float(16**15)!r},
+                           1.0 / n_chars) AS rk
+                FROM documents WHERE n_chars > 0
+                ORDER BY rk DESC LIMIT 100
+            )
         """,
         "knn_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -5,7 +5,9 @@ training-data pipeline needs, built Spark-first over the same
 vectorized-UDF substrate — deduplication (exact, MinHash+LSH, SimHash,
 n-gram Jaccard, embedding cosine), approximate similarity search, text
 analysis (language ID, quality scoring, token counting,
-fingerprinting), and multimodal binary-column plumbing.
+fingerprinting), deterministic hash-based sampling (uniform samples,
+train/val/test splits, weighted sampling), and multimodal
+binary-column plumbing.
 """
 
 from .dedup import (
@@ -19,6 +21,14 @@ from .dedup import (
     simhash_near_dups,
     embedding_cosine_pairs,
     unpersist_intermediates,
+)
+from .sampling import (
+    bottom_k_sample,
+    hash_sample,
+    sample_key_expr,
+    sample_uniform_expr,
+    weighted_sample,
+    with_split,
 )
 from .simsearch import (brute_force_topk, ivf_assign, ivf_topk,
                         ivf_train_centroids, knn_join_bruteforce,
@@ -52,4 +62,10 @@ __all__ = [
     "with_quality",
     "with_token_counts",
     "with_fingerprint",
+    "hash_sample",
+    "with_split",
+    "bottom_k_sample",
+    "weighted_sample",
+    "sample_key_expr",
+    "sample_uniform_expr",
 ]

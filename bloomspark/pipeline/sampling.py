@@ -1,0 +1,181 @@
+"""Deterministic hash-based sampling: uniform samples, train/val/test
+splits, fixed-size pseudo-random samples, and weighted sampling — the
+sampling layer a 100 TB training-data pipeline needs.
+
+Random sampling at cluster scale must NOT use RNG state: `rand()` is
+per-task and changes under retries/repartitioning, so a retried stage
+samples different rows (non-deterministic lineage) and two tables can
+never be sampled *consistently*.  Every operator here instead derives
+its randomness from a hash of the row's KEY columns:
+
+- **Deterministic & retry-safe**: the decision is a pure function of
+  the key (+ an optional salt), independent of partitioning, task
+  retries, cluster size, or execution order.
+- **Consistent across tables**: sampling two tables by the same join
+  key at the same rate keeps exactly the matching rows on both sides,
+  so joins over the samples are unbiased (the classic "consistent
+  hash sampling" property).
+- **Refreshable**: changing ``salt`` draws an independent sample
+  without touching the data.
+
+The uniform is the first 60 bits of ``md5(key)`` (15 hex digits —
+exact in both int64 and float64, and replayable bit-for-bit by any
+engine with an MD5 function, which is how the DuckDB oracles verify
+these operators row-for-row).  MD5 here is Spark's JVM-side codegen
+``md5()`` — no Python in the plan; the sampling predicate is a plain
+scan+filter that whole-stage-codegens and combines with partition
+pruning.  This is a *sampling* hash, not the bit-parity filter suite
+(hashing.py) — it needs portability and uniformity, not Java parity.
+
+Reference: Orestes-Bloomfilter has no sampling layer; this module is
+part of the beyond-reference training-pipeline surface (task brief),
+alongside pipeline/dedup.py and pipeline/text.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 15 hex digits = 60 bits: exact in int64 AND float64 (so thresholds
+#: computed driver-side in Python match executor-side comparisons),
+#: and small enough for DuckDB's ``('0x' || …)::BIGINT`` replay.
+SAMPLE_HEX_DIGITS = 15
+
+#: The size of the uniform space: hashes are uniform on [0, 2^60).
+SAMPLE_SPACE = 16**SAMPLE_HEX_DIGITS
+
+#: Key-column separator for multi-column keys (ASCII unit separator —
+#: never appears in the testdata keys; callers with adversarial keys
+#: should pre-concat their own canonical key column).
+_SEP = "\x1f"
+
+
+def sample_key_expr(cols: Sequence[str], salt: str = "") -> Column:
+    """The canonical string key: ``salt SEP col1 SEP col2 …`` via
+    ``concat_ws`` (NULL columns are skipped by concat_ws in both Spark
+    and DuckDB — key columns should be non-null)."""
+    parts = [F.col(c).cast("string") for c in cols]
+    if salt:
+        parts = [F.lit(salt)] + parts
+    return F.concat_ws(_SEP, *parts)
+
+
+def sample_uniform_expr(cols: Sequence[str], salt: str = "") -> Column:
+    """60-bit integer uniform on [0, SAMPLE_SPACE) from the md5 of the
+    key — the randomness source for every operator in this module.
+    SQL replay: ``('0x' || substr(md5(key), 1, 15))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(sample_key_expr(cols, salt)), 1, SAMPLE_HEX_DIGITS),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    cols: Sequence[str],
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform sample: keep a row iff its 60-bit key
+    uniform < ``fraction * 2^60`` (integer compare — no float in the
+    decision).  Same key ⇒ same decision, across tables, retries and
+    cluster sizes; E[kept] = fraction within the md5 uniformity bound.
+
+    The plan is scan → codegen filter: no shuffle, no Python, and the
+    predicate sits where Catalyst can combine it with other pushed
+    filters."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * SAMPLE_SPACE)
+    return df.where(sample_uniform_expr(cols, salt) < F.lit(threshold))
+
+
+def with_split(
+    df: DataFrame,
+    cols: Sequence[str],
+    weights: Dict[str, float] = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test by default): the
+    key uniform is bucketed by cumulative integer thresholds, so every
+    row lands in exactly one split, assignments are reproducible, and
+    re-running over grown data never moves an old row between splits
+    (the property that keeps eval sets leak-free as the corpus grows).
+
+    ``weights`` map split name → fraction; they must sum to 1 (±1e-9).
+    Order of dict insertion fixes the bucket order (deterministic)."""
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if len(weights) < 2:
+        raise ValueError("need at least 2 splits")
+    u = sample_uniform_expr(cols, salt)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        t = int(cum * SAMPLE_SPACE)
+        clause = (u < F.lit(t), F.lit(name))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def bottom_k_sample(df: DataFrame, cols: Sequence[str], k: int, salt: str = "") -> DataFrame:
+    """Fixed-size pseudo-random sample: the k rows whose full md5 hex
+    (128 bits — collision-free in practice, so the order is total and
+    the result set is unique) sorts lowest.  Spark executes this as
+    TakeOrderedAndProject: per-partition top-k then a k-row merge at
+    the driver — no full sort, no shuffle of the data, scale-safe.
+
+    This is the KMV/bottom-k construction (same family as the Theta
+    sketch's retention set): a uniform sample of EXACTLY k rows that is
+    also mergeable — bottom-k of a union is the bottom-k of the parts'
+    bottom-ks."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hcol = F.md5(sample_key_expr(cols, salt))
+    return df.orderBy(hcol.asc()).limit(k)
+
+
+def weighted_sample(
+    df: DataFrame,
+    cols: Sequence[str],
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each row draws rank-key ``u^(1/w)`` from its deterministic
+    uniform u ∈ (0, 1] and weight w > 0; the k largest rank-keys are
+    the sample, giving inclusion probability proportional to weight
+    (exact for the first draw, the standard A-ES guarantee for the
+    rest).  Deterministic for a fixed salt, executed as
+    TakeOrderedAndProject like :func:`bottom_k_sample`.
+
+    Rows with weight <= 0 or NULL are never sampled.  Note the rank
+    key is a float64 ``pow``; two rows tie only if their pow values
+    collide to the last ulp (~2^-52 odds per pair) — the oracle replay
+    is float-identical in practice but, unlike the integer-threshold
+    operators above, not *provably* engine-exact."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # u in (0, 1]: (h + 1) / 2^60 — never 0, so pow is well-defined
+    u = (sample_uniform_expr(cols, salt) + F.lit(1)).cast("double") / F.lit(
+        float(SAMPLE_SPACE)
+    )
+    w = F.col(weight_col).cast("double")
+    rank_key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.where(w > 0)
+        .orderBy(rank_key.desc())
+        .limit(k)
+    )

@@ -647,3 +647,162 @@ def test_duplicate_clusters_cadence_same_labels_fewer_jobs(spark):
     assert labels1 == labels2
     assert all(c == 0 for _, c in labels1)
     assert jobs2 < jobs1
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (pipeline/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_consistent(docs):
+    """Same key -> same decision: re-running, repartitioning, and
+    sampling a DIFFERENT table by the same key all keep the same set
+    (the consistent-sampling property that keeps sampled joins
+    unbiased)."""
+    from bloomspark.pipeline import hash_sample
+
+    a = {r[0] for r in hash_sample(docs, ["doc_id"], 0.3).select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in hash_sample(docs.repartition(7), ["doc_id"], 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+    # a projected "other table" with the same key column samples the
+    # same ids
+    other = docs.select("doc_id", F.length("text").alias("other_payload"))
+    c = {r[0] for r in hash_sample(other, ["doc_id"], 0.3).select("doc_id").collect()}
+    assert a == c
+    n = docs.count()
+    assert abs(len(a) / n - 0.3) < 0.1  # md5 uniformity at n=150
+
+
+def test_hash_sample_fraction_edges(docs):
+    from bloomspark.pipeline import hash_sample
+
+    assert hash_sample(docs, ["doc_id"], 0.0).count() == 0
+    assert hash_sample(docs, ["doc_id"], 1.0).count() == docs.count()
+    with pytest.raises(ValueError):
+        hash_sample(docs, ["doc_id"], 1.5)
+
+
+def test_hash_sample_salt_draws_independent_sample(docs):
+    from bloomspark.pipeline import hash_sample
+
+    a = {r[0] for r in hash_sample(docs, ["doc_id"], 0.5).collect()}
+    b = {r[0] for r in hash_sample(docs, ["doc_id"], 0.5, salt="x").collect()}
+    assert a != b  # astronomically unlikely to coincide if independent
+
+
+def test_hash_sample_plan_is_pure_codegen_filter(docs):
+    """The sampling predicate is scan -> codegen filter: no exchange,
+    no Python evaluation anywhere in the plan."""
+    from bloomspark.pipeline import hash_sample
+
+    plan = hash_sample(docs, ["doc_id"], 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_with_split_partitions_every_row_once(docs):
+    from bloomspark.pipeline import with_split
+
+    out = with_split(docs, ["doc_id"]).select("doc_id", "split")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    total = sum(len(v) for v in by_split.values())
+    assert total == len(rows)  # disjoint (each doc_id once, one split)
+    # 80/10/10 within uniformity tolerance at n=150
+    assert by_split["train"] and len(by_split["train"]) / total > 0.6
+
+
+def test_with_split_stable_as_corpus_grows(docs):
+    """Old rows never move between splits when new rows arrive — the
+    leak-free-eval-set property."""
+    from bloomspark.pipeline import with_split
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    full_assign = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs, ["doc_id"]).select("doc_id", "split").collect()
+    }
+    half_assign = {
+        r["doc_id"]: r["split"]
+        for r in with_split(half, ["doc_id"]).select("doc_id", "split").collect()
+    }
+    assert all(full_assign[k] == v for k, v in half_assign.items())
+
+
+def test_with_split_validates_weights(docs):
+    from bloomspark.pipeline import with_split
+
+    with pytest.raises(ValueError):
+        with_split(docs, ["doc_id"], {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        with_split(docs, ["doc_id"], {"all": 1.0})
+
+
+def test_bottom_k_sample_mergeable(docs):
+    """Bottom-k of the union == bottom-k of the parts' bottom-ks (the
+    KMV mergeability that makes the fixed-size sample distributable)."""
+    from bloomspark.pipeline import bottom_k_sample
+
+    k = 20
+    whole = {r["doc_id"] for r in bottom_k_sample(docs, ["doc_id"], k).collect()}
+    part_a = bottom_k_sample(docs.where(F.col("doc_id") % 2 == 0), ["doc_id"], k)
+    part_b = bottom_k_sample(docs.where(F.col("doc_id") % 2 == 1), ["doc_id"], k)
+    merged = {
+        r["doc_id"]
+        for r in bottom_k_sample(part_a.unionByName(part_b), ["doc_id"], k).collect()
+    }
+    assert whole == merged
+    assert len(whole) == k
+
+
+def test_bottom_k_sample_plan_is_topk_not_full_sort(docs):
+    from bloomspark.pipeline import bottom_k_sample
+
+    plan = (
+        bottom_k_sample(docs, ["doc_id"], 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_equal_weights_reduce_to_uniform(docs):
+    """With all weights equal, A-ES rank u^(1/w) is monotone in u, so
+    the sample is exactly the top-k by the uniform — a closed-form
+    correctness check with no statistics."""
+    from bloomspark.pipeline import sample_uniform_expr, weighted_sample
+
+    k = 15
+    flat = docs.withColumn("w", F.lit(7.0))
+    got = {r["doc_id"] for r in weighted_sample(flat, ["doc_id"], "w", k).collect()}
+    want = {
+        r["doc_id"]
+        for r in docs.select("doc_id", sample_uniform_expr(["doc_id"]).alias("u"))
+        .orderBy(F.col("u").desc())
+        .limit(k)
+        .collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """One row with overwhelming weight is (near-)always included; the
+    zero/negative/null-weight rows never are."""
+    from bloomspark.pipeline import weighted_sample
+
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1e9), (1000, 0.0), (1001, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in weighted_sample(df, ["id"], "w", 20).collect()}
+    assert 999 in got
+    assert 1000 not in got and 1001 not in got
+    assert len(got) == 20
