@@ -772,6 +772,50 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming: distinct users per 1-hour
+    event-time window via the stateful windowed Theta-sketch operator
+    (streaming.windowed_distinct_stream, applyInPandasWithState +
+    watermark).  The events parquet replays through a file streaming
+    source into a memory sink; per window the max running estimate is
+    the final one (distinct folding is monotone), and in the sketch's
+    exact regime (<= ~20 users/window vs k=4096) it EQUALS
+    COUNT(DISTINCT) — which is what the DuckDB oracle checks."""
+    import tempfile
+    import uuid
+
+    from bloomspark.streaming import windowed_distinct_stream
+
+    name = "wd_gate_" + uuid.uuid4().hex[:8]
+    # the file streaming source wants a DIRECTORY; stage the read-only
+    # events parquet into a temp dir via symlink (no data copy)
+    src_dir = tempfile.mkdtemp(prefix="bloomspark_wd_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(src_dir)
+    out = windowed_distinct_stream(
+        stream, key_col="user_id", time_col="ts", window="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).groupBy(
+        F.col("window_start").cast("long").alias("window_start_s")
+    ).agg(F.max("estimate").cast("long").alias("distinct_users"))
+
+
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for a fixed query vector (vec_id=0), built-in
     zip_with/aggregate arithmetic only."""
@@ -1170,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
+        "windowed_distinct": q_windowed_distinct,
         "sample_uniform": q_sample_uniform,
         "sample_split": q_sample_split,
         "sample_bottomk": q_sample_bottomk,
@@ -1808,6 +1853,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
                         ELSE 'es' END AS lang_id
             FROM c
+        """,
+        "windowed_distinct": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,
+                   count(DISTINCT user_id) AS distinct_users
+            FROM events
+            GROUP BY 1
         """,
         # sampling oracles: the 60-bit uniform is ('0x' || first 15 hex
         # of md5)::BIGINT — bit-identical to Spark's conv(substring(

@@ -1061,3 +1061,83 @@ def test_sharded_checkpoint_accepts_file_scheme(spark, tmp_path):
         _make_sharded_dedup_batch_processor(
             "key", shard_cfg, "hdfs://nn/ck", str(tmp_path / "out2")
         )
+
+
+def test_windowed_distinct_stream_exact_and_finalizes(spark, tmp_path):
+    """Windowed distinct-count stream (round 6): running estimates per
+    micro-batch, a FINAL row once the watermark passes the window end,
+    state freed after, and — in the Theta sketch's exact regime — every
+    estimate equals the true COUNT(DISTINCT) of the keys that reached
+    the window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloomspark.streaming import windowed_distinct_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, rows):  # rows: (user_id, epoch_s)
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], type=pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(t, str(src / name))
+
+    H = 3600
+    base = 1_700_000_000 - (1_700_000_000 % H)  # hour-aligned epoch
+    # window A [base, base+1h): users 1,2,3 (2 twice -> distinct 3)
+    write_batch("b1.parquet", [(1, base + 10), (2, base + 20), (2, base + 30), (3, base + 40)])
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src))
+    out = windowed_distinct_stream(stream, key_col="user_id", time_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("windowed_distinct_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql("select * from windowed_distinct_test").collect()
+        running = [r for r in rows1 if not r["is_final"]]
+        assert len(running) == 1 and running[0]["estimate"] == 3.0
+
+        # batch 2: more keys in window A (late inside the watermark) +
+        # first key of window B — watermark still at window A's end max
+        write_batch("b2.parquet", [(9, base + 50), (10, base + H + 10)])
+        q.processAllAvailable()
+        # batch 3 advances the watermark past window A's end -> timer
+        write_batch("b3.parquet", [(10, base + 2 * H + 10)])
+        q.processAllAvailable()
+
+        rows = spark.sql("select * from windowed_distinct_test").collect()
+        finals = {
+            r["window_start"].timestamp(): r
+            for r in rows
+            if r["is_final"]
+        }
+        assert base in finals  # window A closed
+        assert finals[base]["estimate"] == 4.0  # users 1,2,3,9
+        assert finals[base]["retained"] == 4
+        # window A's running rows never exceeded the final (idempotent
+        # distinct folding), and window B is still open (no final row)
+        a_running = [
+            r["estimate"]
+            for r in rows
+            if not r["is_final"] and r["window_start"].timestamp() == base
+        ]
+        assert max(a_running) <= 4.0
+        # window B's end (base+2H) is also behind the final watermark
+        # (base+2H+10), so it closed too, with its single user
+        assert finals[base + H]["estimate"] == 1.0
+        # window C holds the last event; its end is ahead of the
+        # watermark, so it is still open — no final row, state live
+        assert base + 2 * H not in finals
+    finally:
+        q.stop()
