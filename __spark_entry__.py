@@ -816,6 +816,28 @@ def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("estimate").cast("long").alias("distinct_users"))
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-then-chunk document packing
+    (pipeline/packing.py): 8 independent hash buckets, 4096-token
+    budget, n_chars as the token proxy — layout is a window running
+    sum, replayed exactly by DuckDB window SQL."""
+    from bloomspark.pipeline import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_documents(
+        docs, ["doc_id"], "n_chars", budget=4096, num_buckets=8
+    ).select("doc_id", "pack_bucket", "pack_id", "pack_offset")
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack fill audit over the same packing layout."""
+    from bloomspark.pipeline import pack_documents, pack_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    packed = pack_documents(docs, ["doc_id"], "n_chars", budget=4096, num_buckets=8)
+    return pack_stats(packed, "n_chars")
+
+
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for a fixed query vector (vec_id=0), built-in
     zip_with/aggregate arithmetic only."""
@@ -1219,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_bottomk": q_sample_bottomk,
         "sample_weighted": q_sample_weighted,
+        "pack_documents": q_pack_documents,
+        "pack_stats": q_pack_stats,
         "knn_topk": q_knn_topk,
         "ivf_topk": q_ivf_topk,
         "knn_join": q_knn_join,
@@ -1896,6 +1920,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE n_chars > 0
                 ORDER BY rk DESC LIMIT 100
             )
+        """,
+        "pack_documents": """
+            WITH h AS (
+                SELECT doc_id, n_chars,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS u
+                FROM documents
+            )
+            SELECT doc_id,
+                   (u % 8)::INT AS pack_bucket,
+                   floor((sum(n_chars) OVER w - n_chars) / 4096)::BIGINT AS pack_id,
+                   (sum(n_chars) OVER w - n_chars)::BIGINT AS pack_offset
+            FROM h
+            WINDOW w AS (PARTITION BY u % 8 ORDER BY u, doc_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "pack_stats": """
+            WITH h AS (
+                SELECT doc_id, n_chars,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS u
+                FROM documents
+            ),
+            p AS (
+                SELECT (u % 8)::INT AS pack_bucket,
+                       floor((sum(n_chars) OVER w - n_chars) / 4096)::BIGINT
+                           AS pack_id,
+                       n_chars
+                FROM h
+                WINDOW w AS (PARTITION BY u % 8 ORDER BY u, doc_id
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT pack_bucket, pack_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS n_tokens
+            FROM p GROUP BY 1, 2
         """,
         "knn_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

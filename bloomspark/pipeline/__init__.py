@@ -22,6 +22,7 @@ from .dedup import (
     embedding_cosine_pairs,
     unpersist_intermediates,
 )
+from .packing import pack_documents, pack_stats
 from .sampling import (
     bottom_k_sample,
     hash_sample,
@@ -68,4 +69,6 @@ __all__ = [
     "weighted_sample",
     "sample_key_expr",
     "sample_uniform_expr",
+    "pack_documents",
+    "pack_stats",
 ]

@@ -806,3 +806,79 @@ def test_weighted_sample_favors_heavy_rows(spark):
     assert 999 in got
     assert 1000 not in got and 1001 not in got
     assert len(got) == 20
+
+
+# ---------------------------------------------------------------------------
+# deterministic document packing (pipeline/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_documents_layout_is_valid_and_deterministic(docs):
+    """Offsets form a contiguous concat layout per bucket, pack_id is
+    the start-offset chunk, and the layout is identical under a
+    different input partitioning."""
+    from bloomspark.pipeline import pack_documents
+
+    out = pack_documents(docs, ["doc_id"], "n_chars", budget=2048, num_buckets=4)
+    rows = out.select("doc_id", "pack_bucket", "pack_id", "pack_offset", "n_chars").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    assert set(by_bucket) == set(range(4))
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: r["pack_offset"])
+        expect = 0
+        for r in bucket_rows:
+            assert r["pack_offset"] == expect  # contiguous, no gaps
+            assert r["pack_id"] == r["pack_offset"] // 2048
+            expect += r["n_chars"]
+    again = {
+        r["doc_id"]: (r["pack_bucket"], r["pack_id"], r["pack_offset"])
+        for r in pack_documents(
+            docs.repartition(13), ["doc_id"], "n_chars", budget=2048, num_buckets=4
+        ).collect()
+    }
+    assert again == {
+        r["doc_id"]: (r["pack_bucket"], r["pack_id"], r["pack_offset"]) for r in rows
+    }
+
+
+def test_pack_documents_rejects_bad_tokens(spark):
+    from bloomspark.pipeline import pack_documents
+
+    df = spark.createDataFrame([(1, 10), (2, -5)], "id long, toks long")
+    with pytest.raises(Exception, match="non-null and >= 0"):
+        pack_documents(df, ["id"], "toks", budget=100).collect()
+    with pytest.raises(ValueError):
+        pack_documents(df, ["id"], "toks", budget=0)
+
+
+def test_pack_documents_plan_one_shuffle_no_python(docs):
+    """The layout costs exactly one hash-partitioning exchange (by
+    bucket) + a window — no Python, no extra shuffles."""
+    from bloomspark.pipeline import pack_documents
+
+    plan = (
+        pack_documents(docs, ["doc_id"], "n_chars", budget=2048, num_buckets=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_pack_stats_fill_bound(docs):
+    """Every pack except possibly a bucket's last holds >= budget
+    tokens only via its final spilling doc: n_tokens - last_doc <
+    budget always; and doc counts sum to the corpus."""
+    from bloomspark.pipeline import pack_documents, pack_stats
+
+    packed = pack_documents(docs, ["doc_id"], "n_chars", budget=2048, num_buckets=4)
+    stats = pack_stats(packed, "n_chars").collect()
+    assert sum(r["n_docs"] for r in stats) == docs.count()
+    # a pack's START offsets all live inside [pack_id*B, (pack_id+1)*B)
+    # by construction; equivalently each pack's first doc starts < B
+    # into the chunk — verified through the layout test; here check the
+    # aggregate is consistent: no pack is empty
+    assert all(r["n_docs"] >= 1 for r in stats)
