@@ -455,6 +455,65 @@ def bench_queries(spark, sf_dir: str):
     idx_holder["i"].unpersist()
     shutil.rmtree(lake_dir, ignore_errors=True)
 
+    # Deterministic document packing (pipeline/packing.py, round 6):
+    # 600k lineitem rows laid out on 64 hash-bucketed token streams
+    # (l_quantity as the token proxy) — times the one hash exchange +
+    # per-bucket window running sum that IS the packing layout.
+    # x-prefixed until it carries two rounds of history.
+    from bloomspark.pipeline import pack_documents
+
+    timed(
+        "x25_pack_layout",
+        lambda: pack_documents(
+            lineitem.repartition(nparts),
+            ["l_orderkey", "l_linenumber"],
+            "l_quantity",
+            budget=8192,
+            num_buckets=64,
+        ).count(),
+        n_li,
+    )
+
+    # Windowed distinct-count stream (streaming.windowed_distinct_stream,
+    # round 6): the full Structured Streaming path — file source ->
+    # applyInPandasWithState Theta-per-window -> memory sink — over the
+    # 100k-row events table (720 hourly windows).  Times stateful-
+    # operator overhead end-to-end, not just the fold.
+    import uuid
+
+    from bloomspark.streaming import windowed_distinct_stream
+
+    def _windowed_stream():
+        name = "bench_wd_" + uuid.uuid4().hex[:8]
+        src_dir = tempfile.mkdtemp(prefix="bloomspark_wd_bench_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ).parquet(src_dir)
+        out = windowed_distinct_stream(
+            stream, key_col="user_id", time_col="ts", window="1 hour"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n = spark.table(name).count()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        return n
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    timed("x26_windowed_distinct_stream", _windowed_stream, n_events)
+
     return results
 
 
