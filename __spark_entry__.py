@@ -816,6 +816,62 @@ def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("estimate").cast("long").alias("distinct_users"))
 
 
+# mix_corpora gate constants: three 25-doc corpora (the sf0.01 per-
+# source size) mixed 60/20/20 to an expected 100 rows — src0's rate is
+# 2.4 (two full epochs + a 0.4-sampled partial), src1/src2 downsample
+# at 0.8.  Sizes are passed EXPLICITLY (the no-driver-action path), so
+# the rates — and the oracle thresholds derived from the same
+# mixture_plan floats — are identical at any sf.
+_MIX_SIZES = {"src0": 25, "src1": 25, "src2": 25}
+_MIX_WEIGHTS = {"src0": 0.6, "src1": 0.2, "src2": 0.2}
+_MIX_TOTAL = 100
+
+
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (pipeline/sampling.py mix_corpora):
+    upsampling by whole epochs + one hash-sampled partial epoch,
+    downsampling by hash threshold — replayed by the oracle as a
+    UNION ALL of sampled selects built from the same mixture_plan."""
+    from bloomspark.pipeline import mix_corpora
+
+    docs = _read(spark, sf_dir, "documents")
+    sources = {s: docs.where(F.col("source") == s) for s in _MIX_SIZES}
+    out = mix_corpora(
+        sources,
+        ["doc_id"],
+        _MIX_WEIGHTS,
+        total_rows=_MIX_TOTAL,
+        sizes=_MIX_SIZES,
+    )
+    return out.select("doc_id", "corpus", "epoch")
+
+
+def _mix_oracle_sql() -> str:
+    """UNION ALL replay of q_mix_corpora's plan, built from the SAME
+    mixture_plan floats and int-truncated thresholds as mix_corpora."""
+    from bloomspark.pipeline import mixture_plan
+    from bloomspark.pipeline.sampling import SAMPLE_SPACE
+
+    plan = mixture_plan(_MIX_SIZES, _MIX_WEIGHTS, _MIX_TOTAL)
+    parts = []
+    for name in _MIX_SIZES:
+        k, frac = plan[name]
+        for e in range(k):
+            parts.append(
+                f"SELECT doc_id, '{name}' AS corpus, {e} AS epoch "
+                f"FROM documents WHERE source = '{name}'"
+            )
+        if frac > 0:
+            t = int(frac * SAMPLE_SPACE)
+            parts.append(
+                f"SELECT doc_id, '{name}' AS corpus, {k} AS epoch "
+                f"FROM documents WHERE source = '{name}' AND "
+                f"('0x' || substr(md5('mix:{name}:e{k}' || chr(31) || "
+                f"doc_id::VARCHAR), 1, 15))::BIGINT < {t}"
+            )
+    return " UNION ALL ".join(parts)
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic concat-then-chunk document packing
     (pipeline/packing.py): 8 independent hash buckets, 4096-token
@@ -1243,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "pack_documents": q_pack_documents,
         "pack_stats": q_pack_stats,
+        "mix_corpora": q_mix_corpora,
         "knn_topk": q_knn_topk,
         "ivf_topk": q_ivf_topk,
         "knn_join": q_knn_join,
@@ -1921,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY rk DESC LIMIT 100
             )
         """,
+        "mix_corpora": _mix_oracle_sql(),
         "pack_documents": """
             WITH h AS (
                 SELECT doc_id, n_chars,

@@ -26,6 +26,8 @@ from .packing import pack_documents, pack_stats
 from .sampling import (
     bottom_k_sample,
     hash_sample,
+    mix_corpora,
+    mixture_plan,
     sample_key_expr,
     sample_uniform_expr,
     weighted_sample,
@@ -71,4 +73,6 @@ __all__ = [
     "sample_uniform_expr",
     "pack_documents",
     "pack_stats",
+    "mix_corpora",
+    "mixture_plan",
 ]

@@ -179,3 +179,90 @@ def weighted_sample(
         .orderBy(rank_key.desc())
         .limit(k)
     )
+
+
+def mixture_plan(
+    sizes: Dict[str, int],
+    weights: Dict[str, float],
+    total_rows: float = None,
+) -> Dict[str, tuple]:
+    """Per-corpus replication plan for :func:`mix_corpora`: for each
+    corpus the sampling RATE is ``weight * total / size`` — how many
+    times each of its rows appears in expectation — decomposed into
+    ``(full_epochs, fractional_rate)``: ``int(rate)`` whole copies plus
+    one copy sampled at ``rate - int(rate)``.
+
+    ``total_rows`` defaults to the largest total achievable without
+    upsampling any corpus (``min(size/weight)``), i.e. every rate <= 1
+    and the scarcest corpus is used exactly once."""
+    if set(sizes) != set(weights):
+        raise ValueError("sizes and weights must cover the same corpora")
+    total_w = sum(weights.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"mixture weights must sum to 1, got {total_w}")
+    if any(n <= 0 for n in sizes.values()):
+        raise ValueError("corpus sizes must be positive")
+    if total_rows is None:
+        total_rows = min(
+            sizes[s] / w for s, w in weights.items() if w > 0
+        )
+    plan = {}
+    for name, w in weights.items():
+        rate = w * total_rows / sizes[name]
+        k = int(rate)
+        plan[name] = (k, rate - k)
+    return plan
+
+
+def mix_corpora(
+    sources: Dict[str, DataFrame],
+    cols: Sequence[str],
+    weights: Dict[str, float],
+    *,
+    total_rows: float = None,
+    sizes: Dict[str, int] = None,
+    salt: str = "mix",
+    corpus_col: str = "corpus",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic corpus mixing: combine named corpora into one
+    training stream with target proportions ``weights``, downsampling
+    abundant sources and UPSAMPLING scarce ones by whole epochs + one
+    hash-sampled partial epoch (the standard data-mixture recipe —
+    each row of an upsampled corpus appears ``int(rate)`` or
+    ``int(rate)+1`` times, tagged by ``epoch_col`` so loaders can
+    interleave or shuffle-buffer them apart).
+
+    Expected output size is ``total_rows`` (Bernoulli per row, not an
+    exact count); every decision is the key-hash integer compare from
+    :func:`hash_sample` with an epoch-scoped salt, so the mixture is
+    reproducible, retry-safe, and replayable as a UNION ALL of sampled
+    selects (the DuckDB oracle).  ``sizes`` may be passed to avoid the
+    one ``count()`` driver action per source.
+
+    The plan is a union of codegen'd scan+filters — no shuffle; Spark
+    scans an upsampled corpus once per epoch (k+1 scans ~ k+1 output
+    copies, I/O proportional to output, and the scans share the
+    parquet cache at 100 TB they'd share cluster cache locality)."""
+    if not sources:
+        raise ValueError("need at least one corpus")
+    sizes = sizes or {name: df.count() for name, df in sources.items()}
+    plan = mixture_plan(sizes, weights, total_rows)
+    parts = []
+    for name, df in sources.items():
+        k, frac = plan[name]
+        tagged = df.withColumn(corpus_col, F.lit(name))
+        for e in range(k):
+            parts.append(tagged.withColumn(epoch_col, F.lit(e)))
+        if frac > 0:
+            parts.append(
+                hash_sample(
+                    tagged, cols, frac, salt=f"{salt}:{name}:e{k}"
+                ).withColumn(epoch_col, F.lit(k))
+            )
+    if not parts:
+        raise ValueError("mixture plan produced no output (all rates 0)")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -882,3 +882,64 @@ def test_pack_stats_fill_bound(docs):
     # into the chunk — verified through the layout test; here check the
     # aggregate is consistent: no pack is empty
     assert all(r["n_docs"] >= 1 for r in stats)
+
+
+def test_mix_corpora_rates_and_epochs(spark):
+    """Upsampled corpus appears int(rate)/int(rate)+1 times per row with
+    distinct epoch tags; downsampled corpora subsample; proportions land
+    near the target weights; the whole mixture is deterministic."""
+    from bloomspark.pipeline import mix_corpora, mixture_plan
+
+    n = 400
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 4).alias("part")
+    )
+    sources = {
+        "scarce": df.where(F.col("part") == 0),  # 100 rows
+        "big": df.where(F.col("part") != 0),  # 300 rows
+    }
+    sizes = {"scarce": 100, "big": 300}
+    weights = {"scarce": 0.5, "big": 0.5}
+    plan = mixture_plan(sizes, weights, total_rows=400)
+    assert plan["scarce"][0] == 2 and abs(plan["scarce"][1]) < 1e-9
+    assert plan["big"] == (0, 400 * 0.5 / 300)
+
+    out = mix_corpora(sources, ["id"], weights, total_rows=400, sizes=sizes)
+    rows = out.select("id", "corpus", "epoch").collect()
+    scarce = [r for r in rows if r["corpus"] == "scarce"]
+    big = [r for r in rows if r["corpus"] == "big"]
+    # scarce: exactly 2 full epochs of every row
+    assert len(scarce) == 200
+    per_id = {}
+    for r in scarce:
+        per_id.setdefault(r["id"], []).append(r["epoch"])
+    assert all(sorted(v) == [0, 1] for v in per_id.values())
+    # big: ~200 of 300 at rate 2/3, all epoch 0
+    assert all(r["epoch"] == 0 for r in big)
+    assert abs(len(big) - 200) < 45  # binomial(300, 2/3) well within 5 sigma
+    # deterministic
+    again = sorted((r["id"], r["corpus"], r["epoch"]) for r in
+                   mix_corpora(sources, ["id"], weights, total_rows=400,
+                               sizes=sizes).collect())
+    assert again == sorted((r["id"], r["corpus"], r["epoch"]) for r in rows)
+
+
+def test_mix_corpora_default_total_never_upsamples(spark):
+    from bloomspark.pipeline import mixture_plan
+
+    plan = mixture_plan({"a": 100, "b": 1000}, {"a": 0.4, "b": 0.6})
+    # feasible total = min(100/0.4, 1000/0.6) = 250: a used fully once
+    assert plan["a"] == (1, 0.0)
+    assert plan["b"][0] == 0 and 0 < plan["b"][1] < 1
+
+
+def test_mix_corpora_validation(spark):
+    from bloomspark.pipeline import mix_corpora, mixture_plan
+
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_plan({"a": 10}, {"a": 0.5})
+    with pytest.raises(ValueError, match="same corpora"):
+        mixture_plan({"a": 10}, {"b": 1.0})
+    with pytest.raises(ValueError, match="at least one"):
+        mix_corpora({}, ["id"], {})
