@@ -68,3 +68,36 @@ def test_spark_submit_py_files_job(tmp_path):
     assert (ck / "sharded" / "config.json").exists()
     cc = json.load(open(ck / "sharded_counting" / "config.json"))
     assert cc["kind"] == "counting"
+
+
+def test_training_pipeline_example_runs(tmp_path):
+    """examples/training_pipeline.py end-to-end at sf0.001: every stage
+    emits a JSON line and the summary reports a coherent packing."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "training_pipeline.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--budget", "2048",
+            "--cores", "2",
+            "--out", str(tmp_path / "corpus"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [
+        json.loads(ln[ln.index("{"):])
+        for ln in proc.stdout.splitlines()
+        if "{" in ln and '"stage"' in ln or '"metric"' in ln
+    ]
+    stages = [l["stage"] for l in lines if "stage" in l]
+    assert stages[:2] == ["read", "quality_gate"]
+    summary = [l for l in lines if l.get("metric")][-1]
+    assert summary["packs"] >= 1 and summary["avg_fill_tokens"] > 0
+    assert (tmp_path / "corpus").exists()
