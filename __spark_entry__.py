@@ -46,6 +46,10 @@ _cum = 0.8
 _SAMPLE_T_TRAIN = int(_cum * _SAMPLE_SPACE)
 _cum += 0.1
 _SAMPLE_T_VAL = int(_cum * _SAMPLE_SPACE)
+# stratified_sample entry: per-language rates (zh deliberately absent
+# -> dropped, the sampleBy convention)
+_STRATA_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.0}
+_STRATA_T = {s: int(f * _SAMPLE_SPACE) for s, f in _STRATA_FRACTIONS.items()}
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -760,6 +764,18 @@ def q_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottom_k_sample(docs, ["doc_id"], k=200, salt="r6").select("doc_id")
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling over the lang column: en at
+    0.5, de kept whole, fr at 0.25, es at 0, zh unlisted (dropped) —
+    one codegen CASE threshold, replayed exactly by DuckDB."""
+    from bloomspark.pipeline import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["doc_id"], "lang", _STRATA_FRACTIONS).select(
+        "doc_id", "lang"
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (Efraimidis–Spirakis A-ES,
     k=100, weight = n_chars): rank key u^(1/w) from the deterministic
@@ -1296,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_uniform": q_sample_uniform,
         "sample_split": q_sample_split,
         "sample_bottomk": q_sample_bottomk,
+        "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "pack_documents": q_pack_documents,
         "pack_stats": q_pack_stats,
@@ -1967,6 +1984,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             ORDER BY md5('r6' || chr(31) || doc_id::VARCHAR) ASC
             LIMIT 200
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  < CASE lang WHEN 'en' THEN {_STRATA_T["en"]}
+                              WHEN 'de' THEN {_STRATA_T["de"]}
+                              WHEN 'fr' THEN {_STRATA_T["fr"]}
+                              WHEN 'es' THEN {_STRATA_T["es"]}
+                              ELSE 0 END
         """,
         "sample_weighted": f"""
             SELECT doc_id FROM (

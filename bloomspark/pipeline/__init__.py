@@ -30,6 +30,7 @@ from .sampling import (
     mixture_plan,
     sample_key_expr,
     sample_uniform_expr,
+    stratified_sample,
     weighted_sample,
     with_split,
 )
@@ -75,4 +76,5 @@ __all__ = [
     "pack_stats",
     "mix_corpora",
     "mixture_plan",
+    "stratified_sample",
 ]

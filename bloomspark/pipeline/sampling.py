@@ -266,3 +266,35 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    cols: Sequence[str],
+    strata_col: str,
+    fractions: Dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps rows at
+    its own rate (strata absent from ``fractions`` are dropped, the
+    ``sampleBy`` convention) — but unlike ``DataFrame.sampleBy`` the
+    decision is the key hash, so it is exact-per-key, retry-safe, and
+    consistent across tables like :func:`hash_sample`.
+
+    One codegen CASE over the stratum column picks the threshold; the
+    plan stays a single scan+filter (no shuffle, no per-stratum jobs).
+    """
+    thresholds = {}
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0, 1]")
+        thresholds[stratum] = int(frac * SAMPLE_SPACE)
+    if not thresholds:
+        raise ValueError("need at least one stratum fraction")
+    u = sample_uniform_expr(cols, salt)
+    t = None
+    for stratum, thr in thresholds.items():
+        clause = (F.col(strata_col) == stratum, F.lit(thr))
+        t = F.when(*clause) if t is None else t.when(*clause)
+    t = t.otherwise(F.lit(0))  # unlisted strata: keep nothing
+    return df.where(u < t)

@@ -943,3 +943,36 @@ def test_mix_corpora_validation(spark):
         mixture_plan({"a": 10}, {"b": 1.0})
     with pytest.raises(ValueError, match="at least one"):
         mix_corpora({}, ["id"], {})
+
+
+def test_stratified_sample_rates_and_consistency(docs):
+    """Per-stratum rates hold, unlisted strata drop entirely, zero-rate
+    strata drop, full-rate strata keep everything, and the kept keys
+    agree with hash_sample at the same fraction (same decision
+    function)."""
+    from bloomspark.pipeline import hash_sample, stratified_sample
+
+    frac = {"en": 0.5, "de": 1.0, "es": 0.0}
+    out = stratified_sample(docs, ["doc_id"], "lang", frac).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert set(by_lang) <= {"en", "de"}
+    n_de = docs.where(F.col("lang") == "de").count()
+    assert len(by_lang.get("de", set())) == n_de
+    en_all = hash_sample(docs.where(F.col("lang") == "en"), ["doc_id"], 0.5)
+    assert by_lang.get("en", set()) == {r["doc_id"] for r in en_all.collect()}
+    with pytest.raises(ValueError):
+        stratified_sample(docs, ["doc_id"], "lang", {"en": 1.5})
+
+
+def test_stratified_sample_plan_pure_filter(docs):
+    from bloomspark.pipeline import stratified_sample
+
+    plan = (
+        stratified_sample(docs, ["doc_id"], "lang", {"en": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
