@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloomspark import (
@@ -734,6 +734,56 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_language_id(docs).select("doc_id", "lang_id")
 
 
+def q_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming #2: per-hour value quantiles via
+    the generic windowed-sketch harness with KLL state.  Windows hold
+    ~14 values << k=4096, so compactors never fire and the emitted
+    quantiles are exact order statistics at rank ceil(q*n) — replayed
+    by the oracle with SQL window functions.  Closed windows are read
+    from their final row; open ones from their single running row
+    (one input batch)."""
+    import tempfile
+    import uuid
+
+    from bloomspark.streaming import windowed_quantiles_stream
+
+    name = "wq_gate_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="bloomspark_wq_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(src_dir)
+    out = windowed_quantiles_stream(
+        stream, value_col="value", time_col="ts", window="1 hour",
+        quantiles=(0.5, 0.95),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ranked = spark.table(name).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("window_start").orderBy(F.col("is_final").desc())
+        ),
+    )
+    return ranked.where(F.col("__rk") == 1).select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        F.round("q_5", 6).alias("q50"),
+        F.round("q_95", 6).alias("q95"),
+    )
+
+
 def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% uniform sample keyed on doc_id
     (pipeline/sampling.py): the kept set is a pure function of the key,
@@ -1309,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "windowed_distinct": q_windowed_distinct,
+        "windowed_quantiles": q_windowed_quantiles,
         "sample_uniform": q_sample_uniform,
         "sample_split": q_sample_split,
         "sample_bottomk": q_sample_bottomk,
@@ -1957,6 +2008,21 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS distinct_users
             FROM events
             GROUP BY 1
+        """,
+        "windowed_quantiles": """
+            WITH r AS (
+                SELECT date_trunc('hour', ts) AS h, value,
+                       row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                          ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+                FROM events
+            )
+            SELECT epoch(h)::BIGINT AS window_start_s,
+                   round(max(CASE WHEN rn = ceil(0.5 * n) THEN value END), 6)
+                       AS q50,
+                   round(max(CASE WHEN rn = ceil(0.95 * n) THEN value END), 6)
+                       AS q95
+            FROM r GROUP BY 1
         """,
         # sampling oracles: the 60-bit uniform is ('0x' || first 15 hex
         # of md5)::BIGINT — bit-identical to Spark's conv(substring(

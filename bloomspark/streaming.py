@@ -1114,6 +1114,113 @@ def expiring_membership_stream(
     )
 
 
+def windowed_sketch_stream(
+    events: DataFrame,
+    *,
+    value_col: str,
+    time_col: str,
+    window: str,
+    watermark_delay: str,
+    sketch,
+    emit,
+    emit_schema: str,
+):
+    """Generic per-event-time-window sketch maintenance over a stream —
+    the stateful harness behind :func:`windowed_distinct_stream` and
+    :func:`windowed_quantiles_stream`, taking any sketch satisfying the
+    engine contract (sketches/engine.py: new_state / update /
+    serialize / deserialize, ``numeric`` attr).
+
+    Built on ``applyInPandasWithState`` grouped by window start:
+    tumbling event-time windows + watermark for late data; every
+    micro-batch folds its values into the window's sketch (vectorized:
+    Keys buffers or float64 ndarrays, no per-row Python) and emits a
+    RUNNING row (``is_final = false``, output mode update); when the
+    watermark passes the window end the event-time timeout fires once,
+    emits the FINAL row and frees the state — state size is
+    (open windows) x (sketch payload), never values.  Late rows inside
+    the watermark delay reach their window's still-live state; later
+    rows are dropped by the watermark like any windowed agg.
+
+    ``emit(state) -> dict`` maps the sketch state to the output
+    columns declared in ``emit_schema`` (e.g. ``"estimate double,
+    retained long"``); the harness wraps them as
+    ``(window_start timestamp, <emit_schema>, is_final boolean)``.
+
+    Reference analog: none — the reference is single-node with no
+    event-time semantics; this is the task brief's "watermarks +
+    windowed aggs for late data" composed with the sketch library.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .hashing import keys_from_pandas
+
+    numeric = bool(getattr(sketch, "numeric", False))
+
+    def _row(ws, st, final):
+        out = {"window_start": [ws]}
+        for name, val in emit(st).items():
+            out[name] = [val]
+        out["is_final"] = [final]
+        return pd.DataFrame(out)
+
+    def update(key, pdf_iter, state: "GroupState"):
+        ws = key[0]
+        if state.hasTimedOut:
+            (payload,) = state.get
+            st = sketch.deserialize(bytes(payload))
+            state.remove()
+            yield _row(ws, st, True)
+            return
+        st = (
+            sketch.deserialize(bytes(state.get[0]))
+            if state.exists
+            else sketch.new_state()
+        )
+        end_ms = 0
+        for pdf in pdf_iter:
+            if numeric:
+                vals = pdf["__wd_val"].to_numpy(dtype="float64")
+                vals = vals[~np.isnan(vals)]
+                if len(vals):
+                    sketch.update(st, vals)
+            else:
+                sketch.update(st, keys_from_pandas(pdf["__wd_val"]))
+            # normalize: pandas 2.x may deliver timestamps at us/s units
+            end_ns = pdf["__wd_end"].astype("datetime64[ns]").astype("int64")
+            end_ms = max(end_ms, int(end_ns.max() // 1_000_000))
+        state.update((sketch.serialize(st),))
+        state.setTimeoutTimestamp(end_ms)
+        yield _row(ws, st, False)
+
+    win = F.window(F.col(time_col), window)
+    val = (
+        F.col(value_col).cast("double")
+        if numeric
+        else F.col(value_col).cast("string")
+    )
+    # the watermark column must survive into the stateful operator's
+    # input (event-time timeout requires it), so keep time_col alongside
+    # the derived window bounds; the update fn never reads it
+    keyed = events.select(
+        win.start.alias("__wd_start"),
+        win.end.alias("__wd_end"),
+        val.alias("__wd_val"),
+        F.col(time_col),
+    ).withWatermark(time_col, watermark_delay)
+    return keyed.groupBy("__wd_start").applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"window_start timestamp, {emit_schema}, is_final boolean"
+        ),
+        stateStructType="payload binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def windowed_distinct_stream(
     events: DataFrame,
     *,
@@ -1123,31 +1230,17 @@ def windowed_distinct_stream(
     watermark_delay: str = "0 seconds",
     sketch=None,
 ):
-    """Distinct-count per event-time window over a stream, as a custom
-    stateful operator: tumbling windows + watermark for late data, with
-    a mergeable Theta/HLL sketch as the per-window state — the windowed
-    aggregation a 100 TB event stream needs where ``COUNT(DISTINCT)``
-    is unbounded-state and ``approx_count_distinct`` offers no set
-    algebra or custom precision/serde.
+    """Distinct-count per event-time window over a stream — the
+    windowed aggregation a 100 TB event stream needs where
+    ``COUNT(DISTINCT)`` is unbounded-state and
+    ``approx_count_distinct`` offers no set algebra or custom
+    precision/serde.  A :func:`windowed_sketch_stream` instance with a
+    Theta (default, k=4096) or HLL sketch as the per-window state.
 
-    Built on ``applyInPandasWithState`` grouped by window start:
-
-    - every micro-batch folds its keys into the window's sketch
-      (vectorized: ``Keys.from_arrow`` buffers -> the sketch's numpy
-      update, no per-row Python) and emits a RUNNING estimate
-      (``is_final = false``, output mode update);
-    - when the watermark passes the window end, the event-time timeout
-      fires once, emits the FINAL estimate (``is_final = true``) and
-      frees the state — so state size is (open windows) x (sketch
-      payload), never keys.
-
-    State is the sketch's serialized bytes: the estimate is EXACT while
-    the sketch retains fewer than k keys (ThetaSketch.is_exact), which
-    is what lets the driver gate oracle this stream against plain
-    ``COUNT(DISTINCT)`` SQL; above k the published ~1/sqrt(k-2) bound
-    applies.  Late rows inside the watermark delay re-open nothing —
-    they reach their window's still-live state; rows later than the
-    delay are dropped by the watermark like any windowed agg.
+    The estimate is EXACT while the sketch retains fewer than k keys
+    (ThetaSketch.is_exact), which is what lets the driver gate oracle
+    this stream against plain ``COUNT(DISTINCT)`` SQL; above k the
+    published ~1/sqrt(k-2) bound applies.
 
     At-least-once replay note: a replayed batch RE-folds its keys into
     the sketch — distinct-count folding is idempotent (register max /
@@ -1156,75 +1249,68 @@ def windowed_distinct_stream(
 
     Output schema: (window_start timestamp, estimate double,
     retained long, is_final boolean).
-
-    Reference analog: none — the reference is single-node and has no
-    event-time semantics; this is the task brief's "watermarks +
-    windowed aggs for late data" composed with the sketch library.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from .hashing import keys_from_pandas
-
     if sketch is None:
         from .sketches import ThetaSketch
 
         sketch = ThetaSketch(k=4096)
+    return windowed_sketch_stream(
+        events,
+        value_col=key_col,
+        time_col=time_col,
+        window=window,
+        watermark_delay=watermark_delay,
+        sketch=sketch,
+        emit=lambda st: {
+            "estimate": float(sketch.estimate(st)),
+            "retained": int(sketch.retained(st)),
+        },
+        emit_schema="estimate double, retained long",
+    )
 
-    def update(key, pdf_iter, state: "GroupState"):
-        ws = key[0]
-        if state.hasTimedOut:
-            (payload,) = state.get
-            st = sketch.deserialize(bytes(payload))
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "window_start": [ws],
-                    "estimate": [float(sketch.estimate(st))],
-                    "retained": [int(sketch.retained(st))],
-                    "is_final": [True],
-                }
-            )
-            return
-        st = (
-            sketch.deserialize(bytes(state.get[0]))
-            if state.exists
-            else sketch.new_state()
-        )
-        end_ms = 0
-        for pdf in pdf_iter:
-            sketch.update(st, keys_from_pandas(pdf["__wd_key"]))
-            # normalize: pandas 2.x may deliver timestamps at us/s units
-            end_ns = pdf["__wd_end"].astype("datetime64[ns]").astype("int64")
-            end_ms = max(end_ms, int(end_ns.max() // 1_000_000))
-        state.update((sketch.serialize(st),))
-        state.setTimeoutTimestamp(end_ms)
-        yield pd.DataFrame(
-            {
-                "window_start": [ws],
-                "estimate": [float(sketch.estimate(st))],
-                "retained": [int(sketch.retained(st))],
-                "is_final": [False],
-            }
-        )
 
-    win = F.window(F.col(time_col), window)
-    # the watermark column must survive into the stateful operator's
-    # input (event-time timeout requires it), so keep time_col alongside
-    # the derived window bounds; the update fn never reads it
-    keyed = events.select(
-        win.start.alias("__wd_start"),
-        win.end.alias("__wd_end"),
-        F.col(key_col).cast("string").alias("__wd_key"),
-        F.col(time_col),
-    ).withWatermark(time_col, watermark_delay)
-    return keyed.groupBy("__wd_start").applyInPandasWithState(
-        update,
-        outputStructType=(
-            "window_start timestamp, estimate double, "
-            "retained long, is_final boolean"
-        ),
-        stateStructType="payload binary",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+def windowed_quantiles_stream(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    time_col: str = "ts",
+    window: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+    quantiles=(0.5, 0.95),
+    sketch=None,
+):
+    """Quantiles per event-time window over a stream: a
+    :func:`windowed_sketch_stream` instance with a KLL sketch (default
+    k=4096) as the per-window state, emitting one ``q_<pct>`` column
+    per requested quantile (0.5 -> ``q_50``).
+
+    While a window holds fewer than k values the KLL compactors never
+    fire and the emitted quantiles are EXACT order statistics of the
+    values seen (rank convention: the value at cumulative rank
+    ``ceil(q * n)`` — the driver-gate oracle replays exactly that with
+    SQL window functions); beyond k the published KLL rank bound
+    applies.  NaN/NULL values are dropped before folding.
+    """
+    if sketch is None:
+        from .sketches import KLLSketch
+
+        sketch = KLLSketch(k=4096)
+    qs = list(quantiles)
+    if not qs or any(not 0.0 < q < 1.0 for q in qs):
+        raise ValueError("quantiles must be in (0, 1)")
+    names = [f"q_{str(q).replace('0.', '', 1)}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantiles collide after naming: {names}")
+    emit_schema = ", ".join(f"{n} double" for n in names)
+    return windowed_sketch_stream(
+        events,
+        value_col=value_col,
+        time_col=time_col,
+        window=window,
+        watermark_delay=watermark_delay,
+        sketch=sketch,
+        emit=lambda st: {
+            n: float(sketch.quantile(st, q)) for n, q in zip(names, qs)
+        },
+        emit_schema=emit_schema,
     )

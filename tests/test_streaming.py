@@ -1141,3 +1141,76 @@ def test_windowed_distinct_stream_exact_and_finalizes(spark, tmp_path):
         assert base + 2 * H not in finals
     finally:
         q.stop()
+
+
+def test_windowed_quantiles_stream_exact_order_statistics(spark, tmp_path):
+    """KLL-per-window quantiles in the uncompacted regime are exact
+    order statistics at rank ceil(q*n), across multiple batches, and
+    the window finalizes on watermark passage."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloomspark.streaming import windowed_quantiles_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    H = 3600
+    base = 1_700_000_000 - (1_700_000_000 % H)
+
+    def write_batch(name, rows):  # rows: (value, epoch_s)
+        t = pa.table(
+            {
+                "value": pa.array([r[0] for r in rows], type=pa.float64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], type=pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(t, str(src / name))
+
+    vals_a = [5.0, 1.0, 9.0, 3.0]
+    write_batch("b1.parquet", [(v, base + 10 + i) for i, v in enumerate(vals_a)])
+    stream = spark.readStream.schema("value double, ts timestamp").parquet(str(src))
+    out = windowed_quantiles_stream(
+        stream, value_col="value", time_col="ts", quantiles=(0.5, 0.9)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("windowed_quantiles_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+
+    def rank_stat(vals, qq):
+        s = sorted(vals)
+        return s[min(math.ceil(qq * len(s)) - 1, len(s) - 1)]
+
+    try:
+        q.processAllAvailable()
+        # batch 2: more window-A values (late, inside watermark) + a
+        # window-C event that pushes the watermark past A's end
+        vals_a2 = vals_a + [7.0, 2.0]
+        write_batch("b2.parquet", [(7.0, base + 50), (2.0, base + 55),
+                                   (4.0, base + 2 * H + 10)])
+        q.processAllAvailable()
+        write_batch("b3.parquet", [(8.0, base + 2 * H + 20)])
+        q.processAllAvailable()
+        rows = spark.sql("select * from windowed_quantiles_test").collect()
+        finals = {r["window_start"].timestamp(): r for r in rows if r["is_final"]}
+        assert base in finals
+        assert finals[base]["q_5"] == rank_stat(vals_a2, 0.5)
+        assert finals[base]["q_9"] == rank_stat(vals_a2, 0.9)
+        # the pre-late-data running row saw only batch 1's values
+        running_a = [r for r in rows
+                     if not r["is_final"] and r["window_start"].timestamp() == base]
+        assert running_a[0]["q_5"] == rank_stat(vals_a, 0.5)
+    finally:
+        q.stop()
+
+    from bloomspark.streaming import windowed_quantiles_stream as wqs
+
+    with pytest.raises(ValueError, match="quantiles"):
+        wqs(stream, quantiles=(1.5,), value_col="value", time_col="ts")
