@@ -838,6 +838,25 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-callable surface (bloomspark/sql.py): the lineitem
+    orderkey filter registered as a named function and probed from a
+    plain spark.sql query — matches with_membership bit-for-bit and,
+    at p=1e-9, the exact IN-subquery oracle."""
+    from bloomspark.sql import register_membership
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cfg = FilterConfig.complete(n=max(lineitem.count(), 1), p=EXACT_P)
+    bf = build_bloom(lineitem, "l_orderkey", cfg)
+    register_membership(spark, "bloom_seen_gate", bf)
+    orders.createOrReplaceTempView("__orders_sql_gate")
+    return spark.sql(
+        "SELECT o_orderkey, bloom_seen_gate(o_orderkey) AS member "
+        "FROM __orders_sql_gate"
+    )
+
+
 def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming: distinct users per 1-hour
     event-time window via the stateful windowed Theta-sketch operator
@@ -1358,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
+        "sql_membership": q_sql_membership,
         "windowed_distinct": q_windowed_distinct,
         "windowed_quantiles": q_windowed_quantiles,
         "sample_uniform": q_sample_uniform,
@@ -2002,6 +2022,11 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
                         ELSE 'es' END AS lang_id
             FROM c
+        """,
+        "sql_membership": """
+            SELECT o_orderkey,
+                   o_orderkey IN (SELECT l_orderkey FROM lineitem) AS member
+            FROM orders
         """,
         "windowed_distinct": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,

@@ -199,3 +199,51 @@ def test_exceed_capacity_fpp_within_10pct():
     analytic = cfg.false_positive_probability(1000)
     est = bf.get_estimated_false_positive_probability()
     assert abs(est - analytic) / analytic < 0.10
+
+
+def test_sql_registered_functions_match_dataframe_probes(spark):
+    """bloomspark/sql.py: registered SQL functions reproduce
+    with_membership / with_estimated_count exactly, including the
+    int-key stringification, straight from spark.sql text."""
+    from bloomspark import (
+        CountingBloomFilter,
+        FilterConfig,
+        with_estimated_count,
+        with_membership,
+    )
+    from bloomspark.filter import BloomFilter
+    from bloomspark.sql import register_estimated_count, register_membership
+
+    cfg = FilterConfig.complete(n=500, p=1e-9)
+    bf = BloomFilter(cfg)
+    bf.add_all([str(i) for i in range(0, 100, 2)])
+    ccfg = FilterConfig.complete(n=500, p=1e-9, counting_bits=16)
+    cbf = CountingBloomFilter(ccfg)
+    for i in range(0, 100, 2):
+        for _ in range(i % 5 + 1):
+            cbf.add(str(i))
+
+    register_membership(spark, "t_seen", bf)
+    register_estimated_count(spark, "t_count", cbf)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    df.createOrReplaceTempView("__sql_probe_test")
+    got = {
+        r["k"]: (r["m"], r["c"])
+        for r in spark.sql(
+            "SELECT k, t_seen(k) AS m, t_count(k) AS c FROM __sql_probe_test"
+        ).collect()
+    }
+    want_m = {
+        r["k"]: r["member"] for r in with_membership(df, "k", bf).collect()
+    }
+    want_c = {
+        r["k"]: r["est_count"]
+        for r in with_estimated_count(df, "k", cbf).collect()
+    }
+    assert got == {k: (want_m[k], want_c[k]) for k in want_m}
+    # exactness at p=1e-9: evens counted, odds zero
+    assert all(
+        (got[k][0] and got[k][1] == k % 5 + 1) if k % 2 == 0
+        else (not got[k][0] and got[k][1] == 0)
+        for k in got
+    )
