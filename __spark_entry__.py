@@ -838,6 +838,20 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-cardinality estimate (join.py
+    estimate_join_size): events self-join on event_type — the key
+    domain (~6 values) is far below the 2^16 width, the deterministic
+    row hashes are collision-free there, and the estimate is EXACTLY
+    the true join row count, which the oracle computes by running the
+    join."""
+    from bloomspark.join import estimate_join_size
+
+    events = _read(spark, sf_dir, "events")
+    est, _bound = estimate_join_size(events, "event_type", events, "event_type")
+    return spark.createDataFrame([(int(est),)], "join_rows bigint")
+
+
 def q_sql_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-callable surface (bloomspark/sql.py): the lineitem
     orderkey filter registered as a named function and probed from a
@@ -1377,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
+        "cms_join_size": q_cms_join_size,
         "sql_membership": q_sql_membership,
         "windowed_distinct": q_windowed_distinct,
         "windowed_quantiles": q_windowed_quantiles,
@@ -2022,6 +2037,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
                         ELSE 'es' END AS lang_id
             FROM c
+        """,
+        "cms_join_size": """
+            SELECT count(*)::BIGINT AS join_rows
+            FROM events a JOIN events b ON a.event_type = b.event_type
         """,
         "sql_membership": """
             SELECT o_orderkey,

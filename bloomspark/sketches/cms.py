@@ -96,3 +96,22 @@ class CountMinSketch:
     def error_bound(self, state: np.ndarray) -> float:
         """eps*N additive bound (holds per query w.p. 1 - e^-depth)."""
         return float(np.e / self.width) * self.total(state)
+
+    def inner_product(self, a: np.ndarray, b: np.ndarray) -> int:
+        """Join-size / inner-product estimate (Cormode & Muthukrishnan
+        §4.2): min over rows of the row dot product estimates
+        ``sum_k f_A(k) * f_B(k)`` — the row count of ``A JOIN B`` on
+        the sketched key.  Always an over-estimate; within
+        ``eps * N_A * N_B`` w.p. ``1 - e^-depth``.  Both sketches must
+        share (width, depth, seed) so row hashes align."""
+        if a.shape != b.shape:
+            raise ValueError("inner_product requires same-shape sketches")
+        # per-row dot in object-free uint64 -> python int (no overflow)
+        dots = [int(np.dot(a[row].astype(object), b[row].astype(object)))
+                for row in range(self.depth)]
+        return min(dots)
+
+    def inner_product_bound(self, a: np.ndarray, b: np.ndarray) -> float:
+        """The additive error bound for :meth:`inner_product`:
+        eps * N_A * N_B with eps = e/width."""
+        return float(np.e / self.width) * int(a[0].sum()) * int(b[0].sum())

@@ -517,3 +517,55 @@ def test_frequent_topk_per_group_exact_vs_window(spark):
         (r["lang"], r["source"], r["cnt"], r["rank"]) for r in want.collect()
     }
     assert got_rows == want_rows
+
+
+def test_cms_inner_product_bounds_and_exactness():
+    """Inner product = exact sum f_A*f_B when row hashes are
+    collision-free; always >= exact; within the eps*N_A*N_B bound on a
+    colliding configuration too."""
+    import numpy as np
+
+    from bloomspark.hashing import as_keys
+    from bloomspark.sketches.cms import CountMinSketch
+
+    s = CountMinSketch(width=1 << 14, depth=4)
+    a, b = s.new_state(), s.new_state()
+    s.update(a, as_keys([str(i % 100) for i in range(1000)]))   # f_A = 10
+    s.update(b, as_keys([str(i % 150) for i in range(600)]))    # f_B = 4
+    exact = 100 * 10 * 4  # shared keys 0..99
+    est = s.inner_product(a, b)
+    assert exact <= est <= exact + s.inner_product_bound(a, b)
+
+    # a deliberately tiny width forces collisions: bound still holds
+    t = CountMinSketch(width=32, depth=4)
+    ta, tb = t.new_state(), t.new_state()
+    t.update(ta, as_keys([str(i % 100) for i in range(1000)]))
+    t.update(tb, as_keys([str(i % 150) for i in range(600)]))
+    est2 = t.inner_product(ta, tb)
+    assert exact <= est2 <= exact + t.inner_product_bound(ta, tb)
+
+    with pytest.raises(ValueError):
+        s.inner_product(a, t.new_state())
+
+
+def test_estimate_join_size_matches_exact_join(spark):
+    """estimate_join_size equals the true join cardinality on a
+    small-domain key (collision-free rows), and never under-estimates
+    on a wide-domain key."""
+    from bloomspark.join import estimate_join_size
+
+    left = spark.range(3000).select(
+        (F.col("id") % 7).cast("string").alias("k")
+    )
+    right = spark.range(2000).select(
+        (F.col("id") % 5).cast("string").alias("k")
+    )
+    exact = left.join(right, "k").count()
+    est, bound = estimate_join_size(left, "k", right, "k")
+    assert est == exact  # 7 and 5 distinct keys in 2^16 cells
+
+    wide_l = spark.range(20000).select((F.col("id") % 3001).cast("string").alias("k"))
+    wide_r = spark.range(15000).select((F.col("id") % 2003).cast("string").alias("k"))
+    wexact = wide_l.join(wide_r, "k").count()
+    west, wbound = estimate_join_size(wide_l, "k", wide_r, "k", width=1 << 12)
+    assert wexact <= west <= wexact + wbound
