@@ -838,6 +838,45 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_BUCKETS = 8
+
+
+def q_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced range bucketing (sources/layout.py):
+    KLL-derived cut points at q = i/8 over documents.n_chars (exact
+    order statistics in the uncompacted regime), bucket = count of cut
+    points below the value.  The oracle recomputes the same ceil(q*n)
+    rank cut points with SQL window functions."""
+    from bloomspark.sources import with_range_bucket
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_range_bucket(docs, "n_chars", _RANGE_BUCKETS).select(
+        "doc_id", "range_bucket"
+    )
+
+
+def _range_bucket_oracle_sql() -> str:
+    b = _RANGE_BUCKETS
+    cuts = ", ".join(
+        f"max(CASE WHEN rn = ceil(n * ({i}/{b}.0)) THEN v END) AS c{i}"
+        for i in range(1, b)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN d.n_chars > c.c{i} THEN 1 ELSE 0 END)" for i in range(1, b)
+    )
+    return f"""
+        WITH s AS (
+            SELECT n_chars AS v,
+                   row_number() OVER (ORDER BY n_chars) AS rn,
+                   count(*) OVER () AS n
+            FROM documents
+        ),
+        c AS (SELECT {cuts} FROM s)
+        SELECT d.doc_id, ({bucket})::INT AS range_bucket
+        FROM documents d, c
+    """
+
+
 def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS inner-product join-cardinality estimate (join.py
     estimate_join_size): events self-join on event_type — the key
@@ -1391,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
+        "range_bucket": q_range_bucket,
         "cms_join_size": q_cms_join_size,
         "sql_membership": q_sql_membership,
         "windowed_distinct": q_windowed_distinct,
@@ -2038,6 +2078,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_id
             FROM c
         """,
+        "range_bucket": _range_bucket_oracle_sql(),
         "cms_join_size": """
             SELECT count(*)::BIGINT AS join_rows
             FROM events a JOIN events b ON a.event_type = b.event_type

@@ -4,6 +4,7 @@ Bloom-index data-skipping layer (per-file filters pruning scans)."""
 
 from .codetable import CODE_TABLE_SQL, source_code_table
 from .reader import read_table
+from .layout import range_cutpoints, repartition_balanced, with_range_bucket
 from .skipping import (
     FILE_INDEX_SCHEMA,
     build_file_index,
@@ -18,6 +19,9 @@ from .skipping import (
 )
 
 __all__ = [
+    "range_cutpoints",
+    "with_range_bucket",
+    "repartition_balanced",
     "source_code_table",
     "CODE_TABLE_SQL",
     "read_table",

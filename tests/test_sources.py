@@ -268,3 +268,53 @@ def test_update_file_index_rejects_non_parquet_lake(spark, tmp_path):
     index = build_file_index(df, "doc_id", cfg)
     with pytest.raises(ValueError, match="parquet lakes only"):
         update_file_index(index, df, "doc_id", cfg)
+
+
+def test_range_bucket_balances_skewed_column(spark):
+    """KLL cut points split a heavily skewed column into near-equal
+    MASS buckets (repartitionByRange's goal, deterministically), and
+    passing saved cutpoints keeps the layout stable on new data."""
+    from bloomspark.sources import range_cutpoints, with_range_bucket
+
+    # zipf-ish skew: value = floor(1e6 / (1 + id % 1000))
+    df = spark.range(20000).select(
+        F.col("id"),
+        (1_000_000 / (1 + F.col("id") % 1000)).cast("long").alias("v"),
+    )
+    out = with_range_bucket(df, "v", 8)
+    sizes = {
+        r["range_bucket"]: r["n"]
+        for r in out.groupBy("range_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == set(range(8))
+    # exact-regime KLL: every bucket within 2x of the ideal 2500
+    assert all(1250 <= n <= 5000 for n in sizes.values())
+
+    cuts = range_cutpoints(df, "v", 8)
+    assert cuts == sorted(cuts)
+    again = with_range_bucket(df.repartition(11), "v", 8, cutpoints=cuts)
+    assert (
+        again.withColumnRenamed("range_bucket", "b2")
+        .join(out, "id")
+        .where(F.col("b2") != F.col("range_bucket"))
+        .count()
+        == 0
+    )
+
+
+def test_range_bucket_plan_and_repartition(spark):
+    from bloomspark.sources import repartition_balanced, with_range_bucket
+
+    df = spark.range(5000).select(F.col("id"), (F.col("id") % 97).alias("v"))
+    cuts = [10.0, 50.0, 80.0]
+    plan = (
+        with_range_bucket(df, "v", 4, cutpoints=cuts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    parts = repartition_balanced(df, "v", 4, cutpoints=cuts)
+    assert parts.rdd.getNumPartitions() == 4
+    with pytest.raises(ValueError):
+        with_range_bucket(df, "v", 1)
