@@ -1124,6 +1124,7 @@ def windowed_sketch_stream(
     sketch,
     emit,
     emit_schema: str,
+    slide: Optional[str] = None,
 ):
     """Generic per-event-time-window sketch maintenance over a stream —
     the stateful harness behind :func:`windowed_distinct_stream` and
@@ -1195,7 +1196,11 @@ def windowed_sketch_stream(
         state.setTimeoutTimestamp(end_ms)
         yield _row(ws, st, False)
 
-    win = F.window(F.col(time_col), window)
+    win = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
     val = (
         F.col(value_col).cast("double")
         if numeric
@@ -1229,6 +1234,7 @@ def windowed_distinct_stream(
     window: str = "1 hour",
     watermark_delay: str = "0 seconds",
     sketch=None,
+    slide: Optional[str] = None,
 ):
     """Distinct-count per event-time window over a stream — the
     windowed aggregation a 100 TB event stream needs where
@@ -1266,6 +1272,7 @@ def windowed_distinct_stream(
             "retained": int(sketch.retained(st)),
         },
         emit_schema="estimate double, retained long",
+        slide=slide,
     )
 
 
@@ -1278,6 +1285,7 @@ def windowed_quantiles_stream(
     watermark_delay: str = "0 seconds",
     quantiles=(0.5, 0.95),
     sketch=None,
+    slide: Optional[str] = None,
 ):
     """Quantiles per event-time window over a stream: a
     :func:`windowed_sketch_stream` instance with a KLL sketch (default
@@ -1313,4 +1321,5 @@ def windowed_quantiles_stream(
             n: float(sketch.quantile(st, q)) for n, q in zip(names, qs)
         },
         emit_schema=emit_schema,
+        slide=slide,
     )

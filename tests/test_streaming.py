@@ -1214,3 +1214,48 @@ def test_windowed_quantiles_stream_exact_order_statistics(spark, tmp_path):
 
     with pytest.raises(ValueError, match="quantiles"):
         wqs(stream, quantiles=(1.5,), value_col="value", time_col="ts")
+
+
+def test_windowed_distinct_sliding_windows(spark, tmp_path):
+    """slide= produces overlapping windows: one event lands in every
+    window covering its timestamp, each with its own sketch state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloomspark.streaming import windowed_distinct_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    H = 3600
+    base = 1_700_000_000 - (1_700_000_000 % H)
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2, 3], type=pa.int64()),
+            # all three land at base + 90 min: inside two 2h windows
+            # sliding by 1h ([base, base+2h) and [base+1h, base+3h))
+            "ts": pa.array(
+                [(base + 5400) * 1_000_000] * 3, type=pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(t, str(src / "b1.parquet"))
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src))
+    out = windowed_distinct_stream(
+        stream, key_col="user_id", time_col="ts", window="2 hours", slide="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("windowed_sliding_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from windowed_sliding_test").collect()
+        got = {
+            int(r["window_start"].timestamp()): r["estimate"] for r in rows
+        }
+        assert got == {base: 3.0, base + H: 3.0}
+    finally:
+        q.stop()
