@@ -63,15 +63,33 @@ def sample_key_expr(cols: Sequence[str], salt: str = "") -> Column:
     return F.concat_ws(_SEP, *parts)
 
 
-def sample_uniform_expr(cols: Sequence[str], salt: str = "") -> Column:
-    """60-bit integer uniform on [0, SAMPLE_SPACE) from the md5 of the
+def sample_uniform_expr(
+    cols: Sequence[str], salt: str = "", method: str = "md5"
+) -> Column:
+    """60-bit integer uniform on [0, SAMPLE_SPACE) from a hash of the
     key — the randomness source for every operator in this module.
-    SQL replay: ``('0x' || substr(md5(key), 1, 15))::BIGINT``."""
-    return F.conv(
-        F.substring(F.md5(sample_key_expr(cols, salt)), 1, SAMPLE_HEX_DIGITS),
-        16,
-        10,
-    ).cast("long")
+
+    ``method="md5"`` (default) is the PORTABLE uniform: any engine with
+    an MD5 function replays it bit-for-bit (SQL:
+    ``('0x' || substr(md5(key), 1, 15))::BIGINT``), which is how the
+    DuckDB oracles verify these operators row-for-row.
+    ``method="xxh64"`` is the FAST tier: Spark's native ``xxhash64``
+    masked to 60 bits — same determinism/consistency guarantees,
+    several times the throughput of md5 in whole-stage codegen (the
+    right choice on a 100 TB hot path when no cross-engine replay is
+    needed; replayable by anything with a seed-42 XXH64, including
+    this repo's ``hashing.xxh64`` numpy replica)."""
+    if method == "md5":
+        return F.conv(
+            F.substring(F.md5(sample_key_expr(cols, salt)), 1, SAMPLE_HEX_DIGITS),
+            16,
+            10,
+        ).cast("long")
+    if method == "xxh64":
+        return F.xxhash64(sample_key_expr(cols, salt)).bitwiseAND(
+            F.lit(SAMPLE_SPACE - 1)
+        )
+    raise ValueError(f"unknown sampling hash method {method!r}")
 
 
 def hash_sample(
@@ -79,11 +97,14 @@ def hash_sample(
     cols: Sequence[str],
     fraction: float,
     salt: str = "",
+    method: str = "md5",
 ) -> DataFrame:
     """Deterministic uniform sample: keep a row iff its 60-bit key
     uniform < ``fraction * 2^60`` (integer compare — no float in the
     decision).  Same key ⇒ same decision, across tables, retries and
-    cluster sizes; E[kept] = fraction within the md5 uniformity bound.
+    cluster sizes; E[kept] = fraction within the hash uniformity bound.
+    ``method="xxh64"`` switches to the fast JVM hash (see
+    :func:`sample_uniform_expr`).
 
     The plan is scan → codegen filter: no shuffle, no Python, and the
     predicate sits where Catalyst can combine it with other pushed
@@ -91,7 +112,7 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     threshold = int(fraction * SAMPLE_SPACE)
-    return df.where(sample_uniform_expr(cols, salt) < F.lit(threshold))
+    return df.where(sample_uniform_expr(cols, salt, method) < F.lit(threshold))
 
 
 def with_split(

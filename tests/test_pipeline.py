@@ -976,3 +976,41 @@ def test_stratified_sample_plan_pure_filter(docs):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_hash_sample_xxh64_fast_tier(docs):
+    """method='xxh64': same consistency contract as md5, decisions
+    replayable by the numpy xxh64 replica (bit-exact vs F.xxhash64),
+    plan still a pure codegen filter with no Python."""
+    import numpy as np
+
+    from bloomspark.hashing import as_keys, xxh64
+    from bloomspark.pipeline import hash_sample
+    from bloomspark.pipeline.sampling import SAMPLE_SPACE
+
+    kept = {
+        r["doc_id"]
+        for r in hash_sample(docs, ["doc_id"], 0.4, method="xxh64").collect()
+    }
+    again = {
+        r["doc_id"]
+        for r in hash_sample(
+            docs.repartition(9), ["doc_id"], 0.4, method="xxh64"
+        ).collect()
+    }
+    assert kept == again
+    # numpy replica replays the exact decision set
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    h = xxh64(as_keys([str(i) for i in ids])).astype(np.uint64)
+    t = int(0.4 * SAMPLE_SPACE)
+    replica = {i for i, hv in zip(ids, h) if int(hv) & (SAMPLE_SPACE - 1) < t}
+    assert kept == replica
+    plan = (
+        hash_sample(docs, ["doc_id"], 0.4, method="xxh64")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    with pytest.raises(ValueError, match="method"):
+        hash_sample(docs, ["doc_id"], 0.4, method="sha9")
