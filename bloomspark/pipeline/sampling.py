@@ -17,6 +17,10 @@ its randomness from a hash of the row's KEY columns:
   hash sampling" property).
 - **Refreshable**: changing ``salt`` draws an independent sample
   without touching the data.
+- **Nested**: thresholds are monotone in the fraction, so
+  ``kept(f1) ⊆ kept(f2)`` whenever ``f1 <= f2`` — a pipeline can grow
+  its sample rate without invalidating artifacts built on the smaller
+  sample.
 
 The uniform is the first 60 bits of ``md5(key)`` (15 hex digits —
 exact in both int64 and float64, and replayable bit-for-bit by any

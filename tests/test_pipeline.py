@@ -1014,3 +1014,17 @@ def test_hash_sample_xxh64_fast_tier(docs):
     assert "Exchange" not in plan and "Python" not in plan
     with pytest.raises(ValueError, match="method"):
         hash_sample(docs, ["doc_id"], 0.4, method="sha9")
+
+
+def test_hash_sample_nesting_property(docs):
+    """Thresholds are monotone in the fraction, so samples NEST:
+    kept(f1) is a subset of kept(f2) whenever f1 <= f2 — growing a
+    sample rate never discards previously sampled rows (the property
+    that lets a pipeline scale up its sample without recomputing
+    downstream artifacts)."""
+    from bloomspark.pipeline import hash_sample
+
+    small = {r["doc_id"] for r in hash_sample(docs, ["doc_id"], 0.1).collect()}
+    mid = {r["doc_id"] for r in hash_sample(docs, ["doc_id"], 0.3).collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, ["doc_id"], 0.7).collect()}
+    assert small <= mid <= big
