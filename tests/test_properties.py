@@ -154,3 +154,49 @@ def test_counter_accumulator_matches_naive(pairs, dense_limit):
         else "csparse"
     )
     assert kind == expected_kind
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=2,
+        max_size=4,
+    ),
+    st.floats(min_value=1.0, max_value=1e7),
+)
+def test_mixture_plan_decomposition_invariants(sizes, total):
+    """mixture_plan: rate decomposes exactly into k + frac with
+    0 <= frac < 1; expected output rows sum to the requested total;
+    the default total never produces k > 0 or frac beyond the
+    scarcest corpus's full use."""
+    from bloomspark.pipeline import mixture_plan
+
+    names = sorted(sizes)
+    w = 1.0 / len(names)
+    weights = {n: w for n in names}
+    weights[names[0]] += 1.0 - sum(weights.values())  # exact sum 1.0
+
+    plan = mixture_plan(sizes, weights, total)
+    expected = 0.0
+    for n in names:
+        k, frac = plan[n]
+        assert k >= 0 and 0.0 <= frac < 1.0
+        rate = weights[n] * total / sizes[n]
+        assert abs((k + frac) - rate) < 1e-9 * max(rate, 1.0)
+        expected += (k + frac) * sizes[n]
+    assert abs(expected - total) < 1e-6 * max(total, 1.0)
+
+    default_plan = mixture_plan(sizes, weights)
+    rates = [k + f for k, f in default_plan.values()]
+    assert max(rates) <= 1.0 + 1e-12  # never upsamples
+
+
+@given(st.floats(min_value=0.0, max_value=1.0), st.floats(min_value=0.0, max_value=1.0))
+def test_hash_sample_threshold_monotone(f1, f2):
+    """Threshold construction is monotone in the fraction — the basis
+    of the sample-nesting guarantee."""
+    from bloomspark.pipeline.sampling import SAMPLE_SPACE
+
+    lo, hi = sorted((f1, f2))
+    assert int(lo * SAMPLE_SPACE) <= int(hi * SAMPLE_SPACE)
