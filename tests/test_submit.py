@@ -101,3 +101,35 @@ def test_training_pipeline_example_runs(tmp_path):
     summary = [l for l in lines if l.get("metric")][-1]
     assert summary["packs"] >= 1 and summary["avg_fill_tokens"] > 0
     assert (tmp_path / "corpus").exists()
+
+
+def test_streaming_analytics_example_runs(tmp_path):
+    """examples/streaming_analytics.py: all three streaming operators
+    run end-to-end and land coherent outputs."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "streaming_analytics.py"),
+            "--events", "/root/testdata/sf0.001/events.parquet",
+            "--out", str(tmp_path / "out"),
+            "--cores", "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ops = {}
+    for ln in proc.stdout.splitlines():
+        i = ln.find('{"op"')
+        if i >= 0:
+            d = json.loads(ln[i:])
+            ops[d["op"]] = d
+    assert set(ops) == {"windowed_distinct", "windowed_quantiles", "streaming_dedup"}
+    assert ops["streaming_dedup"]["first_seen_rows"] == 15  # distinct users
+    assert ops["windowed_distinct"]["rows"] >= 1
+    assert (tmp_path / "out" / "windowed_quantiles").exists()
