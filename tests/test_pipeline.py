@@ -1028,3 +1028,20 @@ def test_hash_sample_nesting_property(docs):
     mid = {r["doc_id"] for r in hash_sample(docs, ["doc_id"], 0.3).collect()}
     big = {r["doc_id"] for r in hash_sample(docs, ["doc_id"], 0.7).collect()}
     assert small <= mid <= big
+
+
+def test_mix_corpora_plan_no_shuffle(docs):
+    """The mixture is a union of codegen scan+filters — no exchange,
+    no Python anywhere."""
+    from bloomspark.pipeline import mix_corpora
+
+    sources = {
+        "a": docs.where(F.col("doc_id") % 2 == 0),
+        "b": docs.where(F.col("doc_id") % 2 == 1),
+    }
+    out = mix_corpora(
+        sources, ["doc_id"], {"a": 0.7, "b": 0.3},
+        total_rows=200, sizes={"a": 75, "b": 75},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
