@@ -784,6 +784,52 @@ def q_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming #3: top-3 event types per hour
+    via the windowed Misra–Gries instance.  Distinct types per window
+    (~6) fit k=64, so counts are exact and the deterministic
+    (count desc, item asc) ranking is replayed by SQL row_number."""
+    import tempfile
+    import uuid
+
+    from bloomspark.streaming import windowed_topk_stream
+
+    name = "wt_gate_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="bloomspark_wt_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(src_dir)
+    out = windowed_topk_stream(
+        stream, key_col="event_type", time_col="ts", window="1 hour", n=3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ranked = spark.table(name).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("window_start").orderBy(F.col("is_final").desc())
+        ),
+    )
+    return ranked.where(F.col("__rk") == 1).select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "top_items",
+        "top_counts",
+    )
+
+
 def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% uniform sample keyed on doc_id
     (pipeline/sampling.py): the kept set is a pure function of the key,
@@ -1435,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_membership": q_sql_membership,
         "windowed_distinct": q_windowed_distinct,
         "windowed_quantiles": q_windowed_quantiles,
+        "windowed_topk": q_windowed_topk,
         "sample_uniform": q_sample_uniform,
         "sample_split": q_sample_split,
         "sample_bottomk": q_sample_bottomk,
@@ -2093,6 +2140,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS distinct_users
             FROM events
             GROUP BY 1
+        """,
+        "windowed_topk": """
+            WITH c AS (
+                SELECT date_trunc('hour', ts) AS h, event_type,
+                       count(*)::BIGINT AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT h, event_type, cnt,
+                       row_number() OVER (PARTITION BY h
+                           ORDER BY cnt DESC, event_type ASC) AS rk
+                FROM c
+            )
+            SELECT epoch(h)::BIGINT AS window_start_s,
+                   list(event_type ORDER BY rk) AS top_items,
+                   list(cnt ORDER BY rk) AS top_counts
+            FROM r WHERE rk <= 3 GROUP BY 1
         """,
         "windowed_quantiles": """
             WITH r AS (

@@ -1323,3 +1323,59 @@ def windowed_quantiles_stream(
         emit_schema=emit_schema,
         slide=slide,
     )
+
+
+def windowed_topk_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    window: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+    n: int = 5,
+    sketch=None,
+    slide: Optional[str] = None,
+):
+    """Top-n heavy hitters per event-time window over a stream: a
+    :func:`windowed_sketch_stream` instance with a Misra–Gries
+    frequent-items sketch per window, emitting the ranked items and
+    their count lower bounds as array columns plus an ``exact`` flag
+    (true while the window's distinct keys fit the sketch — no
+    evictions, counts exact; beyond that the standard n/k error bound
+    applies and ``exact`` reads false).
+
+    Ordering is deterministic: count descending, item bytes ascending —
+    which is what lets the driver gate replay the whole stream against
+    a SQL ``row_number() OVER (ORDER BY cnt DESC, key ASC)`` ranking.
+
+    Output schema: (window_start timestamp, top_items array<string>,
+    top_counts array<long>, exact boolean, is_final boolean).
+    """
+    if sketch is None:
+        from .sketches import FrequentItemsSketch
+
+        sketch = FrequentItemsSketch(k=64)
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def emit(st):
+        top = sketch.top_k(st, n)
+        return {
+            "top_items": [t[0] for t in top],
+            "top_counts": [int(t[1]) for t in top],
+            "exact": int(getattr(st, "error", 0)) == 0,
+        }
+
+    return windowed_sketch_stream(
+        events,
+        value_col=key_col,
+        time_col=time_col,
+        window=window,
+        watermark_delay=watermark_delay,
+        sketch=sketch,
+        emit=emit,
+        emit_schema=(
+            "top_items array<string>, top_counts array<long>, exact boolean"
+        ),
+        slide=slide,
+    )

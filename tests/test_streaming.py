@@ -1259,3 +1259,48 @@ def test_windowed_distinct_sliding_windows(spark, tmp_path):
         assert got == {base: 3.0, base + H: 3.0}
     finally:
         q.stop()
+
+
+def test_windowed_topk_stream_exact_ranking(spark, tmp_path):
+    """Misra-Gries-per-window top-k: exact counts below k, the
+    deterministic (count desc, item asc) ranking, and the exact flag."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloomspark.streaming import windowed_topk_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    H = 3600
+    base = 1_700_000_000 - (1_700_000_000 % H)
+    keys = ["b"] * 3 + ["a"] * 3 + ["c"] * 5 + ["d"]
+    t = pa.table(
+        {
+            "k": pa.array(keys, type=pa.string()),
+            "ts": pa.array(
+                [(base + 10 + i) * 1_000_000 for i in range(len(keys))],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(t, str(src / "b1.parquet"))
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(str(src))
+    out = windowed_topk_stream(stream, key_col="k", time_col="ts", n=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("windowed_topk_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from windowed_topk_test").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # c(5) first; a and b tie at 3 -> item-ascending breaks it
+        assert r["top_items"] == ["c", "a", "b"]
+        assert r["top_counts"] == [5, 3, 3]
+        assert r["exact"] is True
+    finally:
+        q.stop()
