@@ -742,6 +742,7 @@ def q_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the oracle with SQL window functions.  Closed windows are read
     from their final row; open ones from their single running row
     (one input batch)."""
+    import shutil
     import tempfile
     import uuid
 
@@ -771,6 +772,7 @@ def q_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(src_dir, ignore_errors=True)
     ranked = spark.table(name).withColumn(
         "__rk",
         F.row_number().over(
@@ -789,6 +791,7 @@ def q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the windowed Misra–Gries instance.  Distinct types per window
     (~6) fit k=64, so counts are exact and the deterministic
     (count desc, item asc) ranking is replayed by SQL row_number."""
+    import shutil
     import tempfile
     import uuid
 
@@ -817,6 +820,7 @@ def q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(src_dir, ignore_errors=True)
     ranked = spark.table(name).withColumn(
         "__rk",
         F.row_number().over(
@@ -965,6 +969,7 @@ def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final one (distinct folding is monotone), and in the sketch's
     exact regime (<= ~20 users/window vs k=4096) it EQUALS
     COUNT(DISTINCT) — which is what the DuckDB oracle checks."""
+    import shutil
     import tempfile
     import uuid
 
@@ -995,6 +1000,7 @@ def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(src_dir, ignore_errors=True)
     return spark.table(name).groupBy(
         F.col("window_start").cast("long").alias("window_start_s")
     ).agg(F.max("estimate").cast("long").alias("distinct_users"))

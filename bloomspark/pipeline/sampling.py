@@ -141,6 +141,8 @@ def with_split(
         raise ValueError(f"split weights must sum to 1, got {total}")
     if len(weights) < 2:
         raise ValueError("need at least 2 splits")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
     u = sample_uniform_expr(cols, salt)
     names = list(weights)
     cum = 0.0
@@ -227,6 +229,8 @@ def mixture_plan(
         raise ValueError(f"mixture weights must sum to 1, got {total_w}")
     if any(n <= 0 for n in sizes.values()):
         raise ValueError("corpus sizes must be positive")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture weights must be non-negative")
     if total_rows is None:
         total_rows = min(
             sizes[s] / w for s, w in weights.items() if w > 0
@@ -271,6 +275,11 @@ def mix_corpora(
     parquet cache at 100 TB they'd share cluster cache locality)."""
     if not sources:
         raise ValueError("need at least one corpus")
+    if set(sources) != set(weights):
+        raise ValueError(
+            f"sources and weights must cover the same corpora "
+            f"(sources={sorted(sources)}, weights={sorted(weights)})"
+        )
     sizes = sizes or {name: df.count() for name, df in sources.items()}
     plan = mixture_plan(sizes, weights, total_rows)
     parts = []
