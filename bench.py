@@ -811,9 +811,23 @@ def run_scaling(n_small: int, n_big: int, mode: str = "python"):
     }
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal-time counter (field 8 of /proc/stat cpu): this
+    shared host takes multi-second steal BURSTS that can inflate any
+    single cell 10-20x (BASELINE.md round-6 root cause), so every bench
+    payload records the steal consumed ACROSS its own run as the noise
+    covariate.  0 where unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
 def main():
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else -1.0
+    steal0 = _steal_jiffies()
 
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -880,6 +894,7 @@ def main():
         payload["scaling_sharded"] = run_scaling(1, 4, mode="sharded")
         payload["scaling_sharded_2_8"] = run_scaling(2, 8, mode="sharded")
 
+    payload["steal_jiffies"] = _steal_jiffies() - steal0
     print(json.dumps(payload))
 
 
