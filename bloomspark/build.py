@@ -76,6 +76,57 @@ def _should_tree_merge(n_parts: int, num_bytes: int, threshold) -> bool:
         return n_parts > threshold
     return n_parts > 8 and n_parts * num_bytes > TREE_MERGE_COLLECT_BYTES
 
+
+#: Logical nodes that preserve their child's partition count — the walk
+#: in :func:`plan_num_partitions` may step through these.
+_PARTITION_PRESERVING = frozenset(
+    {"Project", "Filter", "SubqueryAlias", "TypedFilter"}
+)
+
+
+def plan_num_partitions(df: DataFrame) -> Optional[int]:
+    """Partition count read off the LOGICAL plan, without ``df.rdd``.
+
+    ``df.rdd.getNumPartitions()`` forces the DataFrame -> Python-RDD
+    conversion plan and measured ~0.5 s PER CALL on this host (round-7
+    profiling, bench_extra.py) — it was the single largest fixed cost of
+    every small build.  The common bench/production shapes end in
+    ``repartition(n)`` / ``range(..., numSlices)`` under projections, so
+    the count is statically known: walk down through partition-
+    preserving unary nodes and read it.  Returns None when the plan
+    shape is not statically decidable (callers fall back to df.rdd)."""
+    try:
+        node = df._jdf.queryExecution().logical()
+        for _ in range(64):
+            name = node.getClass().getSimpleName()
+            if name == "Repartition":
+                return int(node.numPartitions())
+            if name == "RepartitionByExpression":
+                opt = node.optNumPartitions()
+                return int(opt.get()) if opt.isDefined() else None
+            if name == "Range":
+                opt = node.numSlices()
+                return int(opt.get()) if opt.isDefined() else None
+            if name in _PARTITION_PRESERVING:
+                node = node.children().apply(0)
+                continue
+            return None
+    except Exception:
+        return None
+    return None
+
+
+def _resolve_num_partitions(df: DataFrame, num_partitions: Optional[int]) -> int:
+    """The partition count feeding a partial build: the explicit
+    ``num_partitions`` when given (the repartition makes it exact), else
+    the statically-read plan count, else the df.rdd fallback."""
+    if num_partitions is not None:
+        return num_partitions
+    n = plan_num_partitions(df)
+    if n is not None:
+        return n
+    return df.rdd.getNumPartitions()
+
 PARTIAL_SCHEMA = (
     "part_id int, rows bigint, ones bigint, fingerprint bigint, "
     "t_ms double, kind string, bitset binary"
@@ -110,6 +161,24 @@ def key_column(col: str, cast: bool = True) -> Column:
     like the reference's toString()-based toBytes."""
     c = F.col(col)
     return c.cast("string") if cast else c
+
+
+def spread_repartition(df: DataFrame, num_partitions: int, col: str) -> DataFrame:
+    """``df.repartition(n)`` for the partial builds, keyed on
+    ``xxhash64(col)`` instead of round-robin.
+
+    Round-robin repartition pays a local sort of every input partition
+    (``spark.sql.execution.sortBeforeRepartition``, SPARK-23207) so that
+    retried tasks reproduce their row assignment; hashing a
+    deterministic per-row key needs no sort and measured 0.27 s vs
+    0.63 s for the same 600k-row exchange (round-7, bench_extra).  The
+    key's xxhash64 spreads evenly whenever the column has >> n distinct
+    values (the build inputs' normal shape); duplicate keys co-locating
+    is welcome — their positions dedupe inside one partial.  Callers
+    repartitioning a near-constant column should pre-partition
+    themselves.  Partial merges are associative/commutative, so ANY
+    row-to-partition assignment yields the identical filter."""
+    return df.repartition(num_partitions, F.xxhash64(F.col(col)))
 
 
 def reserve_probe_cols(
@@ -478,10 +547,10 @@ def build_bloom(
     partials would swamp the driver] -> driver OR-merge.  No shuffle in
     the default path; the tree merge shuffles only P partial rows.
     """
+    n_parts = _resolve_num_partitions(df, num_partitions)
     if num_partitions is not None:
-        df = df.repartition(num_partitions)
+        df = spread_repartition(df, num_partitions, col)
     partials = build_partials(df, col, config)
-    n_parts = df.rdd.getNumPartitions()
     if _should_tree_merge(n_parts, config.num_bytes, tree_merge_threshold):
         # two executor-side reduction levels: P -> groups -> 1, so the
         # driver collects ONE partial instead of `groups` multi-MB rows —
@@ -509,10 +578,10 @@ def _build_bloom_impl(df, col, config, **kwargs):
     num_partitions = kwargs.get("num_partitions")
     tree_merge_threshold = kwargs.get("tree_merge_threshold")
     tree_merge_groups = kwargs.get("tree_merge_groups", DEFAULT_TREE_MERGE_GROUPS)
+    n_parts = _resolve_num_partitions(df, num_partitions)
     if num_partitions is not None:
-        df = df.repartition(num_partitions)
+        df = spread_repartition(df, num_partitions, col)
     partials = build_partials(df, col, config)
-    n_parts = df.rdd.getNumPartitions()
     if _should_tree_merge(n_parts, config.num_bytes, tree_merge_threshold):
         partials = (
             partials.withColumn(
@@ -815,10 +884,10 @@ def build_counting(
             "(build_sharded_counting). Pass max_driver_bytes to raise the "
             "limit if the driver really has the memory."
         )
+    n_parts = _resolve_num_partitions(df, num_partitions)
     if num_partitions is not None:
-        df = df.repartition(num_partitions)
+        df = spread_repartition(df, num_partitions, col)
     partials = build_counting_partials(df, col, config)
-    n_parts = df.rdd.getNumPartitions()
     counters_bytes = config.m * counter_dtype(config.counting_bits).itemsize
     if _should_tree_merge(n_parts, counters_bytes, tree_merge_threshold):
         dense_limit = _COUNTING_DENSE_ALLOC_LIMIT  # freeze policy driver-side

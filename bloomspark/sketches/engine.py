@@ -31,7 +31,13 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..build import _collect_arrow, _should_tree_merge, key_column
+from ..build import (
+    _collect_arrow,
+    _resolve_num_partitions,
+    _should_tree_merge,
+    key_column,
+    spread_repartition,
+)
 from ..hashing import Keys
 
 SKETCH_PARTIAL_SCHEMA = "part_id int, rows bigint, t_ms double, payload binary"
@@ -137,10 +143,10 @@ def build_sketch(
     """Distributed sketch build.  No shuffle in the default path; the
     executor tree merge engages when P partials would swamp the driver
     (same policy/threshold as the Bloom build)."""
+    n_parts = _resolve_num_partitions(df, num_partitions)
     if num_partitions is not None:
-        df = df.repartition(num_partitions)
+        df = spread_repartition(df, num_partitions, col)
     partials = build_sketch_partials(df, col, sketch)
-    n_parts = df.rdd.getNumPartitions()
     if _should_tree_merge(n_parts, sketch.payload_bytes(), tree_merge_threshold):
         partials = (
             partials.withColumn(

@@ -96,13 +96,29 @@ class FrequentItemsSketch:
         uh, first_idx, batch_counts = np.unique(
             h, return_index=True, return_counts=True
         )
-        # key bytes for hashes not already tracked (first occurrence wins)
-        new_mask = ~np.isin(uh, state.hashes)
-        for j in np.nonzero(new_mask)[0]:
-            hv = int(uh[j])
-            if hv not in state.items:
-                state.items[hv] = keys.get(int(first_idx[j]))
         self._combine(state, uh, batch_counts.astype(np.int64))
+        # materialize key bytes ONLY for hashes that SURVIVED the trim
+        # (<= k per batch).  A batch can carry far more distinct keys
+        # than k; the pre-trim first-occurrence loop paid one Python
+        # ``keys.get`` per distinct key, most of which the trim dropped
+        # immediately (round-7 x22 profiling).  The bytes stored for a
+        # surviving hash are identical either way: items[h] is the key
+        # whose hash is h, whichever occurrence supplied it.
+        if len(state.items) < len(state.hashes):
+            tracked = (
+                np.fromiter(
+                    state.items.keys(), dtype=np.uint64, count=len(state.items)
+                )
+                if state.items
+                else np.empty(0, dtype=np.uint64)
+            )
+            missing = state.hashes[~np.isin(state.hashes, tracked)]
+            # every items-less survivor was introduced by THIS batch
+            # (the items dict covers state.hashes on entry), so its
+            # first occurrence is in uh/first_idx
+            at = np.searchsorted(uh, missing)
+            for hv, j in zip(missing, at):
+                state.items[int(hv)] = keys.get(int(first_idx[j]))
         state.n += len(keys)
 
     def merge_states(self, a: _FreqState, b: _FreqState) -> _FreqState:
