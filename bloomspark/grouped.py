@@ -1,19 +1,28 @@
-"""Per-group Bloom filters with salted two-phase merge (skew handling).
+"""Per-group Bloom filters with map-side partials + per-group merge.
 
 Builds one filter per group (e.g. one per ``repo``) as a DataFrame of
-``(group, rows, ones, bitset)``.  Skewed groups — the Zipf-heavy repo in
-FIXTURES.md F1 — would overload a single reducer under a naive
-``groupBy(group)``, so the build is two-phase:
+``(group, rows, ones, bitset)``.  The build is two-phase, with the
+partial aggregation on the MAP side (guide shape: aggregate before you
+shuffle):
 
-stage 1: ``groupBy(group, salt)`` partial bitsets, where
-         ``salt = pmod(xxhash64(key), salt_partitions)`` splits a hot
-         group across ``salt_partitions`` reducers;
-stage 2: ``groupBy(group)`` OR-merge of the (at most salt_partitions)
-         partials per group — tiny inputs, no skew.
+stage 1: ``mapInArrow`` over the INPUT partitions — one hybrid
+         sparse/dense partial per (input partition, group), so the only
+         thing that ever shuffles is partial payloads, never keyed rows
+         (round-7: the previous (group, salt) row exchange was the
+         build's largest shuffle — 64-byte keys per row at the sharded
+         tier — and is gone entirely);
+stage 2: ``groupBy(group)`` OR-merge of the (at most P, typically far
+         sparser) partials per group.
 
-This is the "salting + two-phase merge" the north rule requires;
-Catalyst's AQE skew handling only covers joins/native aggs, not custom
-pandas partials, so it is hand-rolled here (SURVEY.md §4).
+Skew: a hot group no longer overloads any reducer because NO reducer
+ever processes rows — stage 1's work follows the input partitioning
+regardless of group values, and stage 2 merges at most
+P x num_bytes per group.  This supersedes the earlier key-salted
+two-phase shape (``salt_partitions`` is kept as an accepted parameter
+for API stability; it no longer influences the plan).  Memory per task
+is bounded by ``_STAGE1_FLUSH_BYTES``: when the live accumulators
+exceed it, the partials flush early and accumulation restarts — stage 2
+merges any number of partials per group.
 """
 
 from __future__ import annotations
@@ -55,16 +64,43 @@ def _group_sort_key(item):
     return (item[0] is None, item[0] or "")
 
 
+#: Per-task budget for live stage-1 accumulator payloads; past it the
+#: accumulated partials flush as an early record batch and accumulation
+#: restarts (stage 2 merges any number of partials per group).
+_STAGE1_FLUSH_BYTES = 128 << 20
+
+GROUPED_PARTIAL_SCHEMA = "group string, rows bigint, kind string, bitset binary"
+
+
+def _spread_keyed(keyed: DataFrame, df: DataFrame) -> DataFrame:
+    """Ensure the stage-1 map side is parallel: when the input's
+    partition count is statically known and healthy (>= half the
+    session's shuffle parallelism, e.g. a pre-repartitioned or range
+    source) run directly on it — zero shuffle; otherwise (single-row-
+    group parquet scans plan as ONE partition) hash-spread the keyed
+    rows once on xxhash64(__key).  Any spread yields the identical
+    merged filters (associative partials)."""
+    from .build import plan_num_partitions
+
+    shuffle_parts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    known = plan_num_partitions(df)
+    if known is not None and known * 2 >= shuffle_parts:
+        return keyed
+    return keyed.repartition(shuffle_parts, F.xxhash64(F.col("__key")))
+
+
 def _grouped_stage1_gen(config: FilterConfig):
-    """mapInArrow generator over (__group, __key, __salt) batches,
-    repartitioned on (__group, __salt): streams batches through one
-    Bloom accumulator per (group, salt) cell instead of materializing
-    the whole cell as a pandas frame (the round-1 ``applyInPandas``
-    shape held rows/salt_partitions of a hot group in memory at once).
-    Peak memory = one Arrow batch + the live accumulators."""
+    """mapInArrow generator over (__group, __key) batches of the RAW
+    input partitioning: streams batches through one hybrid Bloom
+    accumulator per group and emits ONE sparse/dense partial per
+    (partition, group) — the map-side combine.  No keyed row ever
+    shuffles; peak memory = one Arrow batch + the live accumulators,
+    bounded by the flush budget."""
     import pyarrow as pa
 
-    from .build import _PositionAccumulator, partial_to_bits
+    from .build import _PositionAccumulator, _encode_dense
 
     m, k = config.m, config.k
     method = config.hash_method
@@ -73,13 +109,24 @@ def _grouped_stage1_gen(config: FilterConfig):
         [
             ("group", pa.string()),
             ("rows", pa.int64()),
-            ("ones", pa.int64()),
+            ("kind", pa.string()),
             ("bitset", pa.binary()),
         ]
     )
 
+    def flush(accs):
+        cols = {"group": [], "rows": [], "kind": [], "bitset": []}
+        for g, (acc, rows) in sorted(accs.items(), key=_group_sort_key):
+            kind, _ones, payload = acc.finish()
+            cols["group"].append(g)
+            cols["rows"].append(rows)
+            cols["kind"].append(kind)
+            cols["bitset"].append(payload)
+        return pa.RecordBatch.from_pydict(cols, schema=schema)
+
     def gen(batches):
-        accs = {}  # group -> [accumulator, rows]  (salt co-located anyway)
+        accs = {}  # group -> [accumulator, rows]
+        pending = 0
         hash_fn = get_hash_fn(method)
         for batch in batches:
             from .hashing import Keys
@@ -95,17 +142,12 @@ def _grouped_stage1_gen(config: FilterConfig):
                 st = accs.setdefault(g, [_PositionAccumulator(m, num_bytes), 0])
                 st[0].add(pos[mask])
                 st[1] += int(mask.sum())
-        if not accs:
-            return
-        cols = {"group": [], "rows": [], "ones": [], "bitset": []}
-        for g, (acc, rows) in sorted(accs.items(), key=_group_sort_key):
-            kind, ones, payload = acc.finish()
-            bits = partial_to_bits(kind, payload, config)
-            cols["group"].append(g)
-            cols["rows"].append(rows)
-            cols["ones"].append(int(ones))
-            cols["bitset"].append(bits.tobytes())
-        yield pa.RecordBatch.from_pydict(cols, schema=schema)
+            pending += pos.size * 4
+            if pending > _STAGE1_FLUSH_BYTES:
+                yield flush(accs)
+                accs, pending = {}, 0
+        if accs:
+            yield flush(accs)
 
     return gen
 
@@ -118,11 +160,15 @@ def build_bloom_per_group(
     *,
     salt_partitions: int = 8,
 ) -> DataFrame:
-    """One Bloom filter per group -> DataFrame (group, rows, ones, bitset)."""
+    """One Bloom filter per group -> DataFrame (group, rows, ones, bitset).
+
+    ``salt_partitions`` is accepted for API stability but unused: the
+    map-side partial build has no row shuffle left to salt (see module
+    docstring)."""
+    from .build import _merge_partial_arrays
 
     def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrays = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitset"]]
-        acc = np.bitwise_or.reduce(np.vstack(arrays), axis=0)
+        acc = _merge_partial_arrays(pdf["kind"], pdf["bitset"], config)
         return pd.DataFrame(
             {
                 "group": [pdf["group"].iloc[0]],
@@ -135,11 +181,9 @@ def build_bloom_per_group(
     keyed = df.select(
         F.col(group_col).cast("string").alias("__group"),
         key_column(key_col).alias("__key"),
-        F.pmod(F.xxhash64(key_column(key_col)), F.lit(salt_partitions)).alias("__salt"),
     )
-    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    partials = keyed.repartition(max(shuffle_parts, 1), "__group", "__salt").mapInArrow(
-        _grouped_stage1_gen(config), schema=GROUPED_SCHEMA
+    partials = _spread_keyed(keyed, df).mapInArrow(
+        _grouped_stage1_gen(config), schema=GROUPED_PARTIAL_SCHEMA
     )
     return partials.groupBy("group").applyInPandas(stage2, schema=GROUPED_SCHEMA)
 
@@ -152,23 +196,44 @@ def build_counting_per_group(
     *,
     salt_partitions: int = 8,
 ) -> DataFrame:
-    """One counting filter per group -> (group, rows, nonzero, counters)."""
+    """One counting filter per group -> (group, rows, nonzero, counters).
+
+    ``salt_partitions`` is accepted for API stability but unused (see
+    :func:`build_bloom_per_group`).  Saturating add is associative up
+    to saturation (final counter = min(true sum, max) under ANY partial
+    grouping), so the map-side partials merge to the identical counter
+    arrays the row-shuffled build produced."""
+    from .build import _CounterAccumulator, add_counting_payload
+
     m, k = config.m, config.k
     method = config.hash_method
     dt = counter_dtype(config.counting_bits)
     mx = counter_max(config.counting_bits)
 
     def stage1_gen(batches):
-        # streaming per-group counter accumulation (see _grouped_stage1_gen)
+        # streaming per-group hybrid counter accumulation — the map-side
+        # combine; emits csparse/cdense partials, never keyed rows
         import pyarrow as pa
 
         from .hashing import Keys
 
         pa_schema = pa.schema(
             [("group", pa.string()), ("rows", pa.int64()),
-             ("nonzero", pa.int64()), ("counters", pa.binary())]
+             ("kind", pa.string()), ("counters", pa.binary())]
         )
+
+        def flush(states):
+            cols = {"group": [], "rows": [], "kind": [], "counters": []}
+            for g, (acc, rows) in sorted(states.items(), key=_group_sort_key):
+                kind, _nonzero, _over, payload = acc.finish()
+                cols["group"].append(g)
+                cols["rows"].append(rows)
+                cols["kind"].append(kind)
+                cols["counters"].append(payload)
+            return pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+
         states = {}
+        pending = 0
         hash_fn = get_hash_fn(method)
         for batch in batches:
             keys = Keys.from_arrow(batch.column(1))
@@ -179,27 +244,21 @@ def build_counting_per_group(
             codes, uniq = _factorize_groups(groups)
             for gi, g in enumerate(uniq):
                 mask = codes == gi
-                st = states.setdefault(g, [np.zeros(m, dtype=dt), 0])
-                # bincount stays int64: casting to dt BEFORE the add
-                # would wrap (not saturate) counts above the dtype max
-                add_saturating(
-                    st[0], np.bincount(pos[mask].ravel(), minlength=m), mx
-                )
+                st = states.setdefault(g, [_CounterAccumulator(config), 0])
+                st[0].add(pos[mask])
                 st[1] += int(mask.sum())
-        if not states:
-            return
-        cols = {"group": [], "rows": [], "nonzero": [], "counters": []}
-        for g, (counters, rows) in sorted(states.items(), key=_group_sort_key):
-            cols["group"].append(g)
-            cols["rows"].append(rows)
-            cols["nonzero"].append(int(np.count_nonzero(counters)))
-            cols["counters"].append(counters.tobytes())
-        yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+            pending += pos.size * 8
+            if pending > _STAGE1_FLUSH_BYTES:
+                yield flush(states)
+                states, pending = {}, 0
+        if states:
+            yield flush(states)
 
     def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(m, dtype=dt)
-        for b in pdf["counters"]:
-            add_saturating(acc, np.frombuffer(b, dtype=dt), mx)
+        noop_overflow = lambda n: None  # noqa: E731 — clamp count not surfaced
+        for kind, b in zip(pdf["kind"], pdf["counters"]):
+            add_counting_payload(acc, kind, b, config, noop_overflow)
         return pd.DataFrame(
             {
                 "group": [pdf["group"].iloc[0]],
@@ -212,11 +271,9 @@ def build_counting_per_group(
     keyed = df.select(
         F.col(group_col).cast("string").alias("__group"),
         key_column(key_col).alias("__key"),
-        F.pmod(F.xxhash64(key_column(key_col)), F.lit(salt_partitions)).alias("__salt"),
     )
-    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    partials = keyed.repartition(max(shuffle_parts, 1), "__group", "__salt").mapInArrow(
-        stage1_gen, schema=GROUPED_COUNTING_SCHEMA
+    partials = _spread_keyed(keyed, df).mapInArrow(
+        stage1_gen, schema="group string, rows bigint, kind string, counters binary"
     )
     return partials.groupBy("group").applyInPandas(
         stage2, schema=GROUPED_COUNTING_SCHEMA

@@ -70,6 +70,38 @@ def build_sharded_bloom(
     )
 
 
+def _keyed_probe_side(df: DataFrame, col: str, num_shards: int):
+    """(probe_side, key_col_name): the probe rows with their shard id,
+    plus the name of the column the probe hashes.
+
+    A string-typed key column IS its own cast — reusing it avoids
+    shuffling a duplicate copy of every key (the sf1 probe's keys are
+    64-byte sha strings; the copy was half the exchange).  Any other
+    type travels pre-cast by Spark (key_column), so worker-side string
+    formatting can never diverge from the build's cast."""
+    from pyspark.sql.types import StringType
+
+    probe_side = df.withColumn("__shard", shard_column(col, num_shards))
+    if isinstance(df.schema[col].dataType, StringType):
+        return probe_side, col
+    return probe_side.withColumn("__key", key_column(col)), "__key"
+
+
+def _or_bitset_column(arr) -> np.ndarray:
+    """OR an Arrow binary column's rows into one bitset.  >1 row per
+    shard = a non-canonical (un-merged union) filter table; OR-ing is
+    identical to probing the merge, instead of silently reading only
+    the first row (false negatives)."""
+    bits = np.frombuffer(arr[0].as_py(), dtype=np.uint8)
+    if len(arr) > 1:
+        bits = bits.copy()
+        for i in range(1, len(arr)):
+            np.bitwise_or(
+                bits, np.frombuffer(arr[i].as_py(), dtype=np.uint8), out=bits
+            )
+    return bits
+
+
 def with_sharded_membership(
     df: DataFrame,
     col: str,
@@ -85,10 +117,15 @@ def with_sharded_membership(
     by their key's shard, the S bitset rows by shard), then a cogroup
     tests each shard's probe batch against its single local bitset —
     the bitset appears once per task, never as a per-row column.
-    Shards absent from ``shards`` probe False.
+    Shards absent from ``shards`` probe False.  The cogroup runs in
+    ARROW (``applyInPandas`` materialized every key as a Python string
+    object; ``Keys.from_arrow`` reads the contiguous UTF-8 buffers
+    zero-copy — round-7).
     """
+    import pyarrow as pa
+
     from .filter import test_positions
-    from .hashing import get_hash_fn
+    from .hashing import Keys, get_hash_fn
 
     from pyspark.sql.types import BooleanType, StructField, StructType
 
@@ -99,39 +136,24 @@ def with_sharded_membership(
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, BooleanType())]
     )
-    # the probe key travels pre-cast by Spark (key_column), so pandas
-    # string formatting can never diverge from the build's cast
-    probe_side = df.withColumn("__key", key_column(col)).withColumn(
-        "__shard", shard_column(col, num_shards)
-    )
+    probe_side, key_col = _keyed_probe_side(df, col, num_shards)
     shard_side = shards.select(F.col("shard").alias("__shard"), "bitset")
     orig_cols = df.columns
 
-    def probe(pdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
-        result = np.zeros(len(pdf), dtype=bool)
-        if len(pdf) and len(sdf):
-            # >1 row per shard = a non-canonical (un-merged union) filter
-            # table; OR them — identical to probing the merge, instead of
-            # silently reading only the first row (false negatives)
-            bits = np.frombuffer(bytes(sdf["bitset"].iloc[0]), dtype=np.uint8)
-            if len(sdf) > 1:
-                bits = bits.copy()
-                for buf in sdf["bitset"].iloc[1:]:
-                    np.bitwise_or(
-                        bits, np.frombuffer(bytes(buf), dtype=np.uint8),
-                        out=bits,
-                    )
-            keys = _series_to_keys(pdf["__key"])
+    def probe(ptbl: pa.Table, stbl: pa.Table) -> pa.Table:
+        result = np.zeros(ptbl.num_rows, dtype=bool)
+        if ptbl.num_rows and stbl.num_rows:
+            bits = _or_bitset_column(stbl.column("bitset"))
+            keys = Keys.from_arrow(ptbl.column(key_col).combine_chunks())
             pos = get_hash_fn(method)(keys, m, k)
             result = test_positions(bits, pos)
-        out = pdf[orig_cols].copy()
-        out[out_col] = result
-        return out
+        out = ptbl.select(orig_cols)
+        return out.append_column(out_col, pa.array(result))
 
     return (
         probe_side.groupBy("__shard")
         .cogroup(shard_side.groupBy("__shard"))
-        .applyInPandas(probe, schema=out_schema)
+        .applyInArrow(probe, schema=out_schema)
     )
 
 
@@ -161,6 +183,22 @@ def _sum_counter_rows(
     mx = counter_max(shard_config.counting_bits)
     for buf in buffers.iloc[1:]:
         add_saturating(acc, np.frombuffer(bytes(buf), dtype=dt), mx)
+    return acc
+
+
+def _sum_counter_rows_arrow(arr, shard_config: FilterConfig) -> np.ndarray:
+    """Arrow-column twin of :func:`_sum_counter_rows` (one row is
+    canonical; >1 rows saturating-sum, identical to merging first)."""
+    from .counting import add_saturating, counter_dtype, counter_max
+
+    dt = counter_dtype(shard_config.counting_bits)
+    acc = np.frombuffer(arr[0].as_py(), dtype=dt)
+    if len(arr) == 1:
+        return acc
+    acc = acc.copy()
+    mx = counter_max(shard_config.counting_bits)
+    for i in range(1, len(arr)):
+        add_saturating(acc, np.frombuffer(arr[i].as_py(), dtype=dt), mx)
     return acc
 
 
@@ -211,8 +249,11 @@ def with_sharded_estimated_count(
     :func:`with_sharded_membership`: both sides shuffle ONCE on the
     shard id, each task reads its shard's ONE counter array (the array
     crosses the wire S times per job, never per probe row).  Shards
-    absent from ``shards`` estimate 0."""
-    from .hashing import get_hash_fn
+    absent from ``shards`` estimate 0.  Arrow cogroup, like the
+    membership probe."""
+    import pyarrow as pa
+
+    from .hashing import Keys, get_hash_fn
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -221,27 +262,26 @@ def with_sharded_estimated_count(
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, LongType())]
     )
-    probe_side = df.withColumn("__key", key_column(col)).withColumn(
-        "__shard", shard_column(col, num_shards)
-    )
+    probe_side, key_col = _keyed_probe_side(df, col, num_shards)
     shard_side = shards.select(F.col("shard").alias("__shard"), "counters")
     orig_cols = df.columns
 
-    def probe(pdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
-        result = np.zeros(len(pdf), dtype=np.int64)
-        if len(pdf) and len(sdf):
-            counters = _sum_counter_rows(sdf["counters"], shard_config)
-            keys = _series_to_keys(pdf["__key"])
+    def probe(ptbl: pa.Table, stbl: pa.Table) -> pa.Table:
+        result = np.zeros(ptbl.num_rows, dtype=np.int64)
+        if ptbl.num_rows and stbl.num_rows:
+            counters = _sum_counter_rows_arrow(
+                stbl.column("counters"), shard_config
+            )
+            keys = Keys.from_arrow(ptbl.column(key_col).combine_chunks())
             pos = get_hash_fn(method)(keys, m, k)
             result = counters[pos].min(axis=1).astype(np.int64)
-        out = pdf[orig_cols].copy()
-        out[out_col] = result
-        return out
+        out = ptbl.select(orig_cols)
+        return out.append_column(out_col, pa.array(result))
 
     return (
         probe_side.groupBy("__shard")
         .cogroup(shard_side.groupBy("__shard"))
-        .applyInPandas(probe, schema=out_schema)
+        .applyInArrow(probe, schema=out_schema)
     )
 
 

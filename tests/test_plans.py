@@ -182,7 +182,7 @@ def test_exploded_probe_plan_no_python_no_nested_loop(spark, lineitem):
 
 def test_sharded_counting_probe_plan_cogroups(spark, lineitem):
     """The counting cogroup probe pins the same shape as the membership
-    tier: FlatMapCoGroupsInPandas, no cartesian, and the counter
+    tier: FlatMapCoGroupsInArrow (round-7), no cartesian, and the counter
     arrays live only on the S-row shard side."""
     from bloomspark.sharded import (
         build_sharded_counting,
@@ -196,7 +196,7 @@ def test_sharded_counting_probe_plan_cogroups(spark, lineitem):
         num_shards=8,
     )
     p = plan(probed)
-    assert "FlatMapCoGroupsInPandas" in p
+    assert "FlatMapCoGroupsInArrow" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 

@@ -59,15 +59,17 @@ def test_sharded_build_partition_invariance(spark, lineitem, shards):
 
 
 def test_sharded_probe_plan_shape(spark, lineitem, shards):
-    """The probe plan co-groups (FlatMapCoGroupsInPandas): exactly one
-    shuffle per side keyed on the shard id; the bitset column exists
-    only on the S-row shard side, never per probe row."""
+    """The probe plan co-groups in ARROW (FlatMapCoGroupsInArrow —
+    round-7: the pandas cogroup materialized every probe key as a
+    Python string object): exactly one shuffle per side keyed on the
+    shard id; the bitset column exists only on the S-row shard side,
+    never per probe row."""
     sh, cfg = shards
     probes = lineitem.select("l_orderkey").limit(100)
     plan_df = with_sharded_membership(probes, "l_orderkey", sh, cfg, num_shards=S)
     jvm = plan_df.sparkSession._jvm
     p = jvm.PythonSQLUtils.explainString(plan_df._jdf.queryExecution(), "formatted")
-    assert "FlatMapCoGroupsInPandas" in p
+    assert "FlatMapCoGroupsInArrow" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
