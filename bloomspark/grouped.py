@@ -17,12 +17,13 @@ stage 2: ``groupBy(group)`` OR-merge of the (at most P, typically far
 Skew: a hot group no longer overloads any reducer because NO reducer
 ever processes rows — stage 1's work follows the input partitioning
 regardless of group values, and stage 2 merges at most
-P x num_bytes per group.  This supersedes the earlier key-salted
-two-phase shape (``salt_partitions`` is kept as an accepted parameter
-for API stability; it no longer influences the plan).  Memory per task
-is bounded by ``_STAGE1_FLUSH_BYTES``: when the live accumulators
-exceed it, the partials flush early and accumulation restarts — stage 2
-merges any number of partials per group.
+P x num_bytes per group.  Inputs that plan as too few partitions
+(single-row-group parquet) are spread once on (group, key-salt) —
+``salt_partitions`` bounds the partials per group on that path and is
+otherwise unused.  Memory per task is bounded by
+``_STAGE1_FLUSH_BYTES``: when the live accumulators exceed it, the
+partials flush early and accumulation restarts — stage 2 merges any
+number of partials per group.
 """
 
 from __future__ import annotations
@@ -72,14 +73,19 @@ _STAGE1_FLUSH_BYTES = 128 << 20
 GROUPED_PARTIAL_SCHEMA = "group string, rows bigint, kind string, bitset binary"
 
 
-def _spread_keyed(keyed: DataFrame, df: DataFrame) -> DataFrame:
+def _spread_keyed(
+    keyed: DataFrame, df: DataFrame, salt_partitions: int
+) -> DataFrame:
     """Ensure the stage-1 map side is parallel: when the input's
     partition count is statically known and healthy (>= half the
     session's shuffle parallelism, e.g. a pre-repartitioned or range
-    source) run directly on it — zero shuffle; otherwise (single-row-
-    group parquet scans plan as ONE partition) hash-spread the keyed
-    rows once on xxhash64(__key).  Any spread yields the identical
-    merged filters (associative partials)."""
+    source) run directly on it — zero shuffle, at most P partials per
+    group; otherwise (single-row-group parquet scans plan as ONE
+    partition) spread the keyed rows once on (group, key-salt) — the
+    pre-round-7 clustering, which CO-LOCATES each group into at most
+    ``salt_partitions`` cells so a many-group input does not pay
+    partition-count partials per group.  Any spread yields the
+    identical merged filters (associative partials)."""
     from .build import plan_num_partitions
 
     shuffle_parts = max(
@@ -88,7 +94,11 @@ def _spread_keyed(keyed: DataFrame, df: DataFrame) -> DataFrame:
     known = plan_num_partitions(df)
     if known is not None and known * 2 >= shuffle_parts:
         return keyed
-    return keyed.repartition(shuffle_parts, F.xxhash64(F.col("__key")))
+    return keyed.repartition(
+        shuffle_parts,
+        F.col("__group"),
+        F.pmod(F.xxhash64(F.col("__key")), F.lit(max(salt_partitions, 1))),
+    )
 
 
 def _grouped_stage1_gen(config: FilterConfig):
@@ -162,9 +172,9 @@ def build_bloom_per_group(
 ) -> DataFrame:
     """One Bloom filter per group -> DataFrame (group, rows, ones, bitset).
 
-    ``salt_partitions`` is accepted for API stability but unused: the
-    map-side partial build has no row shuffle left to salt (see module
-    docstring)."""
+    ``salt_partitions`` only matters when the input needs an explicit
+    spread (see :func:`_spread_keyed`); pre-partitioned inputs build
+    map-side with zero row shuffle."""
     from .build import _merge_partial_arrays
 
     def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -182,7 +192,7 @@ def build_bloom_per_group(
         F.col(group_col).cast("string").alias("__group"),
         key_column(key_col).alias("__key"),
     )
-    partials = _spread_keyed(keyed, df).mapInArrow(
+    partials = _spread_keyed(keyed, df, salt_partitions).mapInArrow(
         _grouped_stage1_gen(config), schema=GROUPED_PARTIAL_SCHEMA
     )
     return partials.groupBy("group").applyInPandas(stage2, schema=GROUPED_SCHEMA)
@@ -198,8 +208,8 @@ def build_counting_per_group(
 ) -> DataFrame:
     """One counting filter per group -> (group, rows, nonzero, counters).
 
-    ``salt_partitions`` is accepted for API stability but unused (see
-    :func:`build_bloom_per_group`).  Saturating add is associative up
+    ``salt_partitions`` only matters when the input needs an explicit
+    spread (see :func:`build_bloom_per_group`).  Saturating add is associative up
     to saturation (final counter = min(true sum, max) under ANY partial
     grouping), so the map-side partials merge to the identical counter
     arrays the row-shuffled build produced."""
@@ -272,7 +282,7 @@ def build_counting_per_group(
         F.col(group_col).cast("string").alias("__group"),
         key_column(key_col).alias("__key"),
     )
-    partials = _spread_keyed(keyed, df).mapInArrow(
+    partials = _spread_keyed(keyed, df, salt_partitions).mapInArrow(
         stage1_gen, schema="group string, rows bigint, kind string, counters binary"
     )
     return partials.groupBy("group").applyInPandas(

@@ -341,31 +341,71 @@ def knn_join_lsh(
             for t in range(tables)
         ],
     )
-    scored = None
-    for t in range(tables):
+    # ONE equi-join on the (table, bucket) pair instead of one join per
+    # table (round-7): tagging each probe/build bucket with its table
+    # index makes the T tables' candidates a single join's output, so
+    # the bucket-UDF scan subtree is evaluated once per side instead of
+    # once per table branch, and the plan carries one join + one
+    # exchange set instead of T.  The candidate PAIR SET is identical:
+    # (l, r) joins iff some table t has r's bucket among l's probes.
+    def _tagged(col_of, probe_exprs):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), e.alias("bucket"))
+                    for t in range(tables)
+                    for e in probe_exprs(t)
+                ]
+            )
+        ).alias("tb")
+
+    def lprobes(t):
         lb = F.col(f"b{t}")
         if multiprobe:
-            probes = F.explode(
-                F.array(lb, *[lb.bitwiseXOR(F.lit(1 << b)) for b in range(planes)])
-            )
-        else:
-            probes = lb
-        lprobe = l.select("lid", "lv", probes.alias("bucket"))
-        rside = r.select("rid", "rv", F.col(f"b{t}").alias("bucket"))
-        # score INSIDE the per-table join so the union and the dedup
-        # carry (lid, rid, cosine) scalars, never the vectors
-        part = lprobe.join(rside, "bucket").select(
-            "lid",
-            "rid",
-            _cosine_expr(F.col("lv"), F.col("rv")).alias("cosine"),
+            return [lb] + [lb.bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
+        return [lb]
+
+    lprobe = l.select(
+        "lid", "lv", _tagged("l", lprobes)
+    ).select("lid", "lv", "tb.t", "tb.bucket")
+    rside = r.select(
+        "rid", "rv", _tagged("r", lambda t: [F.col(f"b{t}")])
+    ).select("rid", "rv", "tb.t", "tb.bucket")
+    # score INSIDE the join so the dedup carries (lid, rid, cosine)
+    # scalars, never the vectors
+    scored = lprobe.join(rside, ["t", "bucket"]).select(
+        "lid",
+        "rid",
+        _cosine_expr(F.col("lv"), F.col("rv")).alias("cosine"),
+    )
+    # dedup + rank in ONE aggregation (round-7): dropDuplicates((lid,
+    # rid)) followed by a lid window cost two exchanges; a per-lid
+    # collect_list + array_distinct + array_sort + slice(k) costs one.
+    # A pair can surface once per (table x probe) with a bit-identical
+    # struct (cosine is a pure function of the pair), so array_distinct
+    # is exactly the pair dedup.  The sort key replicates the window's
+    # (cosine DESC, rid ASC) total order including its NaN placement:
+    # Spark sorts NaN as the LARGEST double, so desc put NaN first —
+    # mapping NaN to -inf (unreachable for a true cosine) keeps it
+    # first under the ascending sort of the negated score.
+    sort_key = F.when(
+        F.isnan(F.col("cosine")), F.lit(float("-inf"))
+    ).otherwise(-F.col("cosine"))
+    top = (
+        scored.groupBy("lid")
+        .agg(
+            F.collect_list(
+                F.struct(sort_key.alias("k"), F.col("rid"), F.col("cosine"))
+            ).alias("cands")
         )
-        scored = part if scored is None else scored.unionByName(part)
-    # a pair can surface once per (table x probe); cosine is a pure
-    # function of the pair, so keeping any one row is exact
-    scored = scored.dropDuplicates(["lid", "rid"])
-    w = Window.partitionBy("lid").orderBy(F.desc("cosine"), F.asc("rid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("lid", "rid", "cosine", "rank")
+        .select(
+            "lid",
+            F.slice(F.array_sort(F.array_distinct("cands")), 1, k).alias("top"),
+        )
+    )
+    return top.select("lid", F.posexplode("top")).select(
+        "lid",
+        F.col("col.rid").alias("rid"),
+        F.col("col.cosine").alias("cosine"),
+        (F.col("pos") + 1).alias("rank"),
     )

@@ -7,37 +7,47 @@ read-slave scaling (FilterBuilder.addReadSlave, RedisBitSet.java:37):
 the merged filter is broadcast once and every executor probes its local
 copy — a broadcast semi-join against a sketch.
 
-Implemented as Arrow-batched scalar pandas UDFs over the broadcast
-bytes; all k positions and bit tests are computed in numpy per batch.
+Implemented as Arrow-native scalar UDFs over the broadcast bytes
+(``arrow_udf`` — the batch reaches the worker as a pyarrow Array whose
+UTF-8 buffers :meth:`Keys.from_arrow` views zero-copy; the earlier
+pandas UDFs paid one Python string object per probe row just crossing
+the serializer).  All k positions and bit tests are computed in numpy
+per batch.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf
 
-from .build import _series_to_keys, key_column
+from .build import key_column
 from .counting import CountingBloomFilter, counter_dtype
 from .filter import BloomFilter, test_positions
-from .hashing import get_hash_fn
+from .hashing import Keys, get_hash_fn
 from .params import FilterConfig
 
 
+def _keys_from_arrow_any(arr) -> Keys:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return Keys.from_arrow(arr)
+
+
 def membership_udf(df_or_spark, bloom: BloomFilter):
-    """A reusable BooleanType pandas UDF testing membership in ``bloom``."""
+    """A reusable BooleanType Arrow UDF testing membership in ``bloom``."""
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     bc = spark.sparkContext.broadcast((bloom.config.to_dict(), bloom.to_bytes()))
 
-    @pandas_udf("boolean")
-    def probe(keys: pd.Series) -> pd.Series:
+    @arrow_udf("boolean")
+    def probe(keys: pa.Array) -> pa.Array:
         cfg_dict, raw = bc.value
         cfg = FilterConfig.from_dict(cfg_dict)
         bits = np.frombuffer(raw, dtype=np.uint8)
-        kb = _series_to_keys(keys)
+        kb = _keys_from_arrow_any(keys)
         pos = get_hash_fn(cfg.hash_method)(kb, cfg.m, cfg.k)
-        return pd.Series(test_positions(bits, pos))
+        return pa.array(test_positions(bits, pos))
 
     return probe
 
@@ -51,18 +61,18 @@ def with_membership(
 
 
 def estimated_count_udf(df_or_spark, cbf: CountingBloomFilter):
-    """A reusable LongType pandas UDF: Minimum-Selection count estimate."""
+    """A reusable LongType Arrow UDF: Minimum-Selection count estimate."""
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     bc = spark.sparkContext.broadcast((cbf.config.to_dict(), cbf.to_bytes()))
 
-    @pandas_udf("long")
-    def probe(keys: pd.Series) -> pd.Series:
+    @arrow_udf("long")
+    def probe(keys: pa.Array) -> pa.Array:
         cfg_dict, raw = bc.value
         cfg = FilterConfig.from_dict(cfg_dict)
         counters = np.frombuffer(raw, dtype=counter_dtype(cfg.counting_bits))
-        kb = _series_to_keys(keys)
+        kb = _keys_from_arrow_any(keys)
         pos = get_hash_fn(cfg.hash_method)(kb, cfg.m, cfg.k)
-        return pd.Series(counters[pos].min(axis=1).astype(np.int64))
+        return pa.array(counters[pos].min(axis=1).astype(np.int64))
 
     return probe
 
@@ -80,10 +90,15 @@ def hash_positions_column(col: Column, config: FilterConfig) -> Column:
     """Expose the k hash positions as an array<long> column (the bulk
     analog of BloomFilter.hash, BloomFilter.java:193-205)."""
 
-    @pandas_udf("array<long>")
-    def positions(keys: pd.Series) -> pd.Series:
-        kb = _series_to_keys(keys)
+    @arrow_udf("array<long>")
+    def positions(keys: pa.Array) -> pa.Array:
+        kb = _keys_from_arrow_any(keys)
         pos = get_hash_fn(config.hash_method)(kb, config.m, config.k)
-        return pd.Series(list(pos))
+        k = pos.shape[1] if pos.ndim == 2 else config.k
+        offsets = np.arange(len(kb) + 1, dtype=np.int32) * k
+        return pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(pos.ravel().astype(np.int64), type=pa.int64()),
+        )
 
     return positions(col)
