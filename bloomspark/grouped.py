@@ -33,6 +33,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -413,7 +414,6 @@ def with_group_estimated_count(
     ``max_broadcast_bytes`` (or ``strategy='cogroup'``), routes to the
     never-collected cogroup plan instead (see
     :func:`with_group_membership` for the trade-off)."""
-    from pyspark.sql.functions import pandas_udf
 
     from .counting import counter_dtype
     from .hashing import get_hash_fn
@@ -442,13 +442,21 @@ def with_group_estimated_count(
     table = {g: bytes(b) for g, b in zip(fdf["group"], fdf["counters"])}
     bc = df.sparkSession.sparkContext.broadcast(table)
 
-    @pandas_udf("long")
-    def probe(groups: pd.Series, keys: pd.Series) -> pd.Series:
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("long")
+    def probe(groups: pa.Array, keys: pa.Array) -> pa.Array:
+        from .hashing import Keys
+
         counters_by_group = bc.value
-        kb = _series_to_keys(keys)
+        kb = Keys.from_arrow(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        )
         pos = get_hash_fn(method)(kb, m, k)
-        out = np.zeros(len(keys), dtype=np.int64)
-        codes, uniques = _factorize_groups(groups)
+        out = np.zeros(len(kb), dtype=np.int64)
+        codes, uniques = _factorize_groups(
+            groups.to_numpy(zero_copy_only=False)
+        )
         for ui, g in enumerate(uniques):
             raw = counters_by_group.get(g)
             if raw is None:
@@ -456,7 +464,7 @@ def with_group_estimated_count(
             idx = np.nonzero(codes == ui)[0]
             counters = np.frombuffer(raw, dtype=dt)
             out[idx] = counters[pos[idx]].min(axis=1).astype(np.int64)
-        return pd.Series(out)
+        return pa.array(out)
 
     return df.withColumn(
         out_col, probe(F.col(group_col).cast("string"), key_column(key_col))
@@ -506,7 +514,6 @@ def with_group_membership(
     shape of the reference's pipelined bulk contains
     (redis/BloomFilterRedis.java:75-97) at per-tenant granularity.
     """
-    from pyspark.sql.functions import pandas_udf
 
     from .filter import test_positions
     from .hashing import get_hash_fn
@@ -534,14 +541,22 @@ def with_group_membership(
     filters = {g: bytes(b) for g, b in zip(fdf["group"], fdf["bitset"])}
     bc = df.sparkSession.sparkContext.broadcast(filters)
 
-    @pandas_udf("boolean")
-    def probe(groups: pd.Series, keys: pd.Series) -> pd.Series:
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("boolean")
+    def probe(groups: pa.Array, keys: pa.Array) -> pa.Array:
+        from .hashing import Keys
+
         table = bc.value
-        kb = _series_to_keys(keys)
+        kb = Keys.from_arrow(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        )
         pos = get_hash_fn(method)(kb, m, k)
-        out = np.zeros(len(keys), dtype=bool)
+        out = np.zeros(len(kb), dtype=bool)
         # factorize by group: one vectorized bit-test per distinct filter
-        codes, uniques = _factorize_groups(groups)
+        codes, uniques = _factorize_groups(
+            groups.to_numpy(zero_copy_only=False)
+        )
         for ui, g in enumerate(uniques):
             raw = table.get(g)
             if raw is None:
@@ -549,7 +564,7 @@ def with_group_membership(
             idx = np.nonzero(codes == ui)[0]
             bits = np.frombuffer(raw, dtype=np.uint8)
             out[idx] = test_positions(bits, pos[idx])
-        return pd.Series(out)
+        return pa.array(out)
 
     return df.withColumn(
         out_col, probe(F.col(group_col).cast("string"), key_column(key_col))

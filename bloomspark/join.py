@@ -291,10 +291,31 @@ def sharded_semi_filter(
         salt_partitions=salt_partitions,
     )
     out_col = "__sharded_prune_member"
-    pruned = with_sharded_membership(
-        big, big_key, shards, shard_config, num_shards=num_shards, out_col=out_col
+    # Probe a KEY-ONLY projection through the cogroup, then semi-join
+    # the surviving keys back onto ``big`` (round-7, guide §4: pass only
+    # the columns the function needs).  The previous shape co-partitioned
+    # the FULL big rows with the shards, so every payload column crossed
+    # the shard exchange AND the Python worker round-trip; now only the
+    # key column does, and the big side's payload moves (or not) by
+    # whatever strategy Catalyst picks for the semi join — broadcast of
+    # the p-bounded hit set when it fits, sort-merge (one shuffle of
+    # big, on the SAME key the exact join will reuse) past that.  A
+    # null big_key row can no longer survive the prune (null matches
+    # nothing in a semi join) — it never matched the exact semi-join
+    # either, so the superset contract is unchanged.
+    hits = (
+        with_sharded_membership(
+            big.select(big_key),
+            big_key,
+            shards,
+            shard_config,
+            num_shards=num_shards,
+            out_col=out_col,
+        )
+        .where(F.col(out_col))
+        .select(big_key)
     )
-    return pruned.where(F.col(out_col)).drop(out_col)
+    return big.join(hits, big_key, "left_semi")
 
 
 def sharded_prune_join(

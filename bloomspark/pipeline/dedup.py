@@ -437,16 +437,21 @@ def duplicate_clusters(
             ),
             "dst",
         ).select(F.col("src").alias("id"), F.col("nlabel").alias("label"))
+        check_round = rnd % convergence_check_every == 0 or rnd == max_iterations
+        # on check rounds the convergence count IS the materializing
+        # action (lazy checkpoint computed by the count job, then read
+        # back by every later consumer) — one job instead of an eager
+        # checkpoint job plus a count job (round-7)
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=not check_round)
         )
         # compare to the immediately-previous round's labels, but only on
         # the cadence (plus the last permitted round, so the guard below
         # never fires on an unchecked convergence)
-        if rnd % convergence_check_every == 0 or rnd == max_iterations:
+        if check_round:
             changed = (
                 new_labels.join(
                     labels.select("id", F.col("label").alias("old")), "id"

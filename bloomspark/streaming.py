@@ -526,12 +526,15 @@ def _make_dedup_batch_processor(
         os.replace(tmp, path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates([col])
         cur = _load(bits_path)
         prev = _load(prev_path)
         seen = cur.clone() if cur is not None else None
         if prev is not None:
             seen = prev if seen is None else seen.union(prev)
+        # probe BEFORE the in-batch dedup: membership is a pure function
+        # of the key, so filtering first is equivalent and the
+        # dropDuplicates exchange then carries only the surviving rows
+        # (the probe itself is shuffle-free — broadcast joins / UDF)
         if seen is not None:
             mcol = "__dedup_member"
             probed = (
@@ -542,6 +545,7 @@ def _make_dedup_batch_processor(
             new_rows = probed.where(~F.col(mcol)).drop(mcol)
         else:
             new_rows = batch_df
+        new_rows = new_rows.dropDuplicates([col])
         # persist the survivors once, then hash exactly those rows
         new_rows = new_rows.localCheckpoint(eager=True)
         _write_batch_output(new_rows, output_dir, batch_id, exactly_once_output)
@@ -751,7 +755,6 @@ def _make_sharded_dedup_batch_processor(
                         ).select("shard").collect()
                     }
                 }
-        batch_df = batch_df.dropDuplicates([col])
         new_rows = batch_df
         # probe cur+prev in ONE cogroup pass: a key is seen iff it is a
         # member of the UNION of the two generations, and the cogroup
@@ -780,7 +783,10 @@ def _make_sharded_dedup_batch_processor(
                 .where(~F.col(mcol))
                 .drop(mcol)
             )
-        new_rows = new_rows.localCheckpoint(eager=True)
+        # in-batch dedup AFTER the probe (membership is per-key pure, so
+        # the order is semantics-preserving) — the dropDuplicates
+        # exchange then carries only surviving rows
+        new_rows = new_rows.dropDuplicates([col]).localCheckpoint(eager=True)
         _write_batch_output(new_rows, output_dir, batch_id, exactly_once_output)
         built = build_sharded_bloom(
             new_rows, col, shard_config,
