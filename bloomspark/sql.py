@@ -35,11 +35,23 @@ from .params import FilterConfig
 
 def _coerce_str(keys: pd.Series) -> pd.Series:
     # SQL callers pass any type; normalize like key_column's
-    # cast("string") (ints/floats/bools render as Spark string form)
+    # cast("string") (ints/bools render as Spark string form).  Float
+    # dtypes are REJECTED (round-7 advice): pandas repr ("0.0001",
+    # "10000000.0") diverges from the JVM cast's Java Double.toString
+    # form ("1.0E-4", "1.0E7") that the build side hashed, which would
+    # silently produce false negatives.  Cast to string in SQL
+    # (CAST(x AS STRING)) so the JVM renders the key.
     if keys.dtype == object:
         return keys
     if keys.dtype == bool:
         return keys.map({True: "true", False: "false"})
+    if pd.api.types.is_float_dtype(keys.dtype):
+        raise ValueError(
+            "registered bloom SQL functions cannot hash float-typed "
+            "arguments bit-faithfully (pandas and Java Double.toString "
+            "render them differently); CAST the argument to STRING in "
+            "the SQL so the JVM formats it"
+        )
     return keys.astype("string").astype(object)
 
 

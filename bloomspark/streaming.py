@@ -1194,7 +1194,14 @@ def windowed_sketch_stream(
                 if len(vals):
                     sketch.update(st, vals)
             else:
-                sketch.update(st, keys_from_pandas(pdf["__wd_val"]))
+                # drop NULL keys like the numeric path drops NaN
+                # (round-7 advice): a null key row must not fold a
+                # spurious key into the window's distinct/top-k state
+                col = pdf["__wd_val"]
+                if col.isna().any():
+                    col = col.dropna()
+                if len(col):
+                    sketch.update(st, keys_from_pandas(col))
             # normalize: pandas 2.x may deliver timestamps at us/s units
             end_ns = pdf["__wd_end"].astype("datetime64[ns]").astype("int64")
             end_ms = max(end_ms, int(end_ns.max() // 1_000_000))
