@@ -671,20 +671,39 @@ def embedding_cosine_pairs(
     return pairs.where(F.col("cosine") >= threshold)
 
 
+def _batch_matrix(vecs: pa.Array):
+    """(N, dim) float64 matrix from an Arrow list<float> batch, or None
+    when the batch is ragged / carries nulls (the callers' documented
+    degenerate-batch behavior).  Zero-copy flatten + reshape — the
+    earlier pandas path built one Python list per vector."""
+    if isinstance(vecs, pa.ChunkedArray):
+        vecs = vecs.combine_chunks()
+    if len(vecs) == 0 or vecs.null_count:
+        return None
+    flat = vecs.flatten().to_numpy(zero_copy_only=False)
+    offsets = np.asarray(vecs.offsets, dtype=np.int64)
+    lengths = np.diff(offsets)
+    if lengths.size == 0 or lengths.min() != lengths.max() or lengths[0] == 0:
+        return None
+    return flat.reshape(len(vecs), int(lengths[0])).astype(np.float64, copy=False)
+
+
 def _hyperplane_bucket_expr(vec_col: str, planes: int, seed: int, df: DataFrame):
     """B-bit sign bucket against deterministic random hyperplanes,
-    evaluated with a vectorized pandas UDF (one matmul per batch)."""
-    @pandas_udf("long")
-    def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        if mat.ndim != 2 or mat.size == 0:
-            return pd.Series(np.zeros(len(vecs), dtype=np.int64))
+    evaluated with a vectorized Arrow UDF (one matmul per batch)."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("long")
+    def bucket(vecs: pa.Array) -> pa.Array:
+        mat = _batch_matrix(vecs)
+        if mat is None:
+            return pa.array(np.zeros(len(vecs), dtype=np.int64))
         rng = np.random.RandomState(seed)
         h = rng.standard_normal((mat.shape[1], planes))
         signs = (mat @ h) > 0  # (N, B)
         out = np.zeros(len(vecs), dtype=np.int64)
         for b in range(planes):
             out |= signs[:, b].astype(np.int64) << b
-        return pd.Series(out)
+        return pa.array(out)
 
     return bucket(F.col(vec_col))

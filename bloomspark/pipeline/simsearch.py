@@ -15,6 +15,7 @@ from typing import List, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -198,12 +199,22 @@ def ivf_assign(
     partitions instead of scanning the corpus."""
     C = _unit_rows(np.asarray(centroids, dtype=np.float64))
 
-    @pandas_udf("int")
-    def cell(batch: pd.Series) -> pd.Series:
+    from pyspark.sql.functions import arrow_udf
+
+    from .dedup import _batch_matrix
+
+    @arrow_udf("int")
+    def cell(batch: pa.Array) -> pa.Array:
         if len(batch) == 0:
-            return pd.Series([], dtype="int32")
-        X = _unit_rows(np.vstack(batch.to_numpy()).astype(np.float64))
-        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+            return pa.array(np.zeros(0, dtype=np.int32))
+        X = _batch_matrix(batch)
+        if X is None:
+            raise ValueError(
+                "ivf_assign: batch contains null or ragged embedding "
+                "vectors; clean the column first"
+            )
+        X = _unit_rows(X)
+        return pa.array(np.argmax(X @ C.T, axis=1).astype(np.int32))
 
     return emb.withColumn(out_col, cell(F.col(vec_col)))
 

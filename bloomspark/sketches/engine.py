@@ -244,12 +244,19 @@ def build_sketch_per_group(
             }
         )
 
-    shuffle_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    # map-side stage 1 when the input's partitioning is statically
+    # healthy (round-7, same policy as grouped._spread_keyed): no keyed
+    # row shuffles, stage 2 merges <= P states per group; otherwise
+    # spread once on (group, salt) as before
+    from ..build import plan_num_partitions
+
+    shuffle_parts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
-    partials = keyed.repartition(
-        max(shuffle_parts, 1), "__group", "__salt"
-    ).mapInArrow(stage1, schema=GROUPED_SKETCH_SCHEMA)
+    known = plan_num_partitions(df)
+    if known is None or known * 2 < shuffle_parts:
+        keyed = keyed.repartition(shuffle_parts, "__group", "__salt")
+    partials = keyed.mapInArrow(stage1, schema=GROUPED_SKETCH_SCHEMA)
     return partials.groupBy("group").applyInPandas(
         stage2, schema=GROUPED_SKETCH_SCHEMA
     )
