@@ -107,6 +107,10 @@ def plan_num_partitions(df: DataFrame) -> Optional[int]:
             if name == "Range":
                 opt = node.numSlices()
                 return int(opt.get()) if opt.isDefined() else None
+            if name == "LogicalRDD":
+                # localCheckpoint()ed frames: the RDD already exists,
+                # its partition count is a field read, not a plan build
+                return int(node.rdd().getNumPartitions())
             if name in _PARTITION_PRESERVING:
                 node = node.children().apply(0)
                 continue

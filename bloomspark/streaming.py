@@ -499,7 +499,7 @@ def _make_dedup_batch_processor(
     rotation/suppression semantics are unit-testable with plain batch
     DataFrames (no live stream, no timing)."""
     from .build import build_bloom
-    from .fast import FAST_HASH_METHOD, build_fast_bloom, with_fast_membership
+    from .fast import FAST_HASH_METHOD
     from .probe import with_membership
 
     fast = config.hash_method == FAST_HASH_METHOD
@@ -533,15 +533,17 @@ def _make_dedup_batch_processor(
             seen = prev if seen is None else seen.union(prev)
         # probe BEFORE the in-batch dedup: membership is a pure function
         # of the key, so filtering first is equivalent and the
-        # dropDuplicates exchange then carries only the surviving rows
-        # (the probe itself is shuffle-free — broadcast joins / UDF)
+        # dropDuplicates exchange then carries only the surviving rows.
+        # Both tiers probe via the broadcast-bytes Arrow UDF and build
+        # via the mapInArrow partials: at micro-batch sizes these
+        # measured 2.3x / 4.3x faster than the k blocked broadcast
+        # joins / the explode+bit_or aggregate (round-7 A/B, 500k-row
+        # batches), and for XXHash64KM the numpy replica is
+        # bit-identical to the native expressions (tests/test_fast.py),
+        # so the emitted rows and the stored generations are unchanged.
         if seen is not None:
             mcol = "__dedup_member"
-            probed = (
-                with_fast_membership(batch_df, col, seen, config, out_col=mcol)
-                if fast
-                else with_membership(batch_df, col, seen, out_col=mcol)
-            )
+            probed = with_membership(batch_df, col, seen, out_col=mcol)
             new_rows = probed.where(~F.col(mcol)).drop(mcol)
         else:
             new_rows = batch_df
@@ -549,11 +551,7 @@ def _make_dedup_batch_processor(
         # persist the survivors once, then hash exactly those rows
         new_rows = new_rows.localCheckpoint(eager=True)
         _write_batch_output(new_rows, output_dir, batch_id, exactly_once_output)
-        bf = (
-            build_fast_bloom(new_rows, col, config)
-            if fast
-            else build_bloom(new_rows, col, config)
-        )
+        bf = build_bloom(new_rows, col, config)
         if cur is not None:
             bf.union_inplace(cur)
         if (
